@@ -1,0 +1,257 @@
+"""Bundle adjustment: Schur-complement Levenberg-Marquardt in pure JAX.
+
+This is the TPU-native replacement of g2o's BlockSolver_6_3 + LM pipeline
+(reference Thirdparty/g2o/g2o/core/block_solver.h, driven by
+Optimizer::BundleAdjustment / LocalBundleAdjustment, src/Optimizer.cc:49,459):
+
+- The problem is a flat observation list (obs_cam, obs_pt, uv, ur, weights,
+  mask) over C camera vertices and P landmark vertices — the SoA form of
+  g2o's edge set. All shapes static; masked entries are no-ops.
+- Each LM step builds the block system by segment reductions:
+    U_c   = sum_{o: cam=c} Jc_o^T W_o Jc_o          (C, 6, 6)
+    V_p   = sum_{o: pt=p}  Jp_o^T W_o Jp_o          (P, 3, 3)
+    W_o   = Jc_o^T W_o Jp_o                         (O, 6, 3)
+  and solves the landmark-marginalized (Schur) camera system
+    S dx = b~,  S = U - W V^-1 W^T
+  with matrix-free preconditioned CG: S is never materialized — each CG
+  matvec is two gathers + two segment-sums over the observation axis, which
+  is exactly the layout that distributes over a device mesh by sharding the
+  observation axis and psum-ing the (C, 6) products (see parallel/dist_ba.py).
+- Landmark updates by back-substitution with batched 3x3 inverses.
+- Huber IRLS (delta = sqrt(5.991) mono / sqrt(7.815) stereo, reference
+  src/Optimizer.cc:85-86,528-530) and chi2 outlier classification between
+  stages (reference two-stage 5+10 iteration schedule with outlier demotion,
+  src/Optimizer.cc:665-715) via `classify_outliers`.
+
+Gauge fixing: `cam_fixed` masks camera updates (reference setFixed on KF0 /
+anchor keyframes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from my_orb_slam2_tpu.ops import lie
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+class BAProblem(NamedTuple):
+    """Static-shape bundle adjustment problem (the g2o graph equivalent)."""
+
+    cam_Tcw: jnp.ndarray  # (C, 4, 4)
+    cam_fixed: jnp.ndarray  # (C,) bool
+    pt_pos: jnp.ndarray  # (P, 3)
+    pt_valid: jnp.ndarray  # (P,) bool
+    obs_cam: jnp.ndarray  # (O,) i32 camera index
+    obs_pt: jnp.ndarray  # (O,) i32 point index
+    obs_uv: jnp.ndarray  # (O, 2)
+    obs_ur: jnp.ndarray  # (O,) right-u or -1
+    obs_inv_sigma2: jnp.ndarray  # (O,)
+    obs_mask: jnp.ndarray  # (O,) bool
+
+
+def _residuals(cam_Tcw, pt_pos, prob: BAProblem, fx, fy, cx, cy, bf):
+    """Per-observation residual (O, 3), Jacobians (O, 3, 6) cam / (O, 3, 3)
+    point, and camera-frame depth (O,)."""
+    T = cam_Tcw[prob.obs_cam]  # (O, 4, 4)
+    p = pt_pos[prob.obs_pt]  # (O, 3)
+    R = T[:, :3, :3]
+    t = T[:, :3, 3]
+    pc = jnp.einsum("oij,oj->oi", R, p) + t
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z_safe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+    u_pred = fx * x * iz + cx
+    v_pred = fy * y * iz + cy
+    ur_pred = u_pred - bf * iz
+    r = jnp.stack(
+        [u_pred - prob.obs_uv[:, 0], v_pred - prob.obs_uv[:, 1], ur_pred - prob.obs_ur],
+        axis=1,
+    )
+    zero = jnp.zeros_like(x)
+    du = jnp.stack([fx * iz, zero, -fx * x * iz2], axis=1)
+    dv = jnp.stack([zero, fy * iz, -fy * y * iz2], axis=1)
+    dur = du + jnp.stack([zero, zero, bf * iz2], axis=1)
+    J_proj = jnp.stack([du, dv, dur], axis=1)  # (O, 3, 3)
+    hat_pc = jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=1),
+            jnp.stack([z, zero, -x], axis=1),
+            jnp.stack([-y, x, zero], axis=1),
+        ],
+        axis=1,
+    )
+    I3 = jnp.broadcast_to(jnp.eye(3), hat_pc.shape)
+    J_cam = J_proj @ jnp.concatenate([I3, -hat_pc], axis=2)  # (O, 3, 6)
+    J_pt = J_proj @ R  # (O, 3, 3)
+    return r, J_cam, J_pt, z
+
+
+def _chi2(r, inv_sigma2, is_stereo):
+    e2 = r[:, 0] ** 2 + r[:, 1] ** 2 + jnp.where(is_stereo, r[:, 2] ** 2, 0.0)
+    return e2 * inv_sigma2
+
+
+def _robust_cost(c2, delta, use_huber):
+    s = jnp.sqrt(jnp.maximum(c2, 1e-12))
+    return jnp.where(use_huber & (s > delta), 2.0 * delta * s - delta * delta, c2)
+
+
+def classify_outliers(prob: BAProblem, fx, fy, cx, cy, bf):
+    """chi2 + positive-depth observation gating (reference
+    src/Optimizer.cc:668-683,717-745). Returns updated obs_mask."""
+    r, _, _, z = _residuals(prob.cam_Tcw, prob.pt_pos, prob, fx, fy, cx, cy, bf)
+    is_stereo = prob.obs_ur >= 0
+    c2 = _chi2(r, prob.obs_inv_sigma2, is_stereo)
+    th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    return prob.obs_mask & (c2 <= th) & (z > 0)
+
+
+def _inv3x3(M):
+    """Batched 3x3 inverse with damping guard."""
+    return jnp.linalg.inv(M + 1e-9 * jnp.eye(3))
+
+
+def _inv6x6(M):
+    return jnp.linalg.inv(M + 1e-9 * jnp.eye(6))
+
+
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "use_huber"))
+def bundle_adjust(
+    prob: BAProblem,
+    fx,
+    fy,
+    cx,
+    cy,
+    bf,
+    n_iters: int = 10,
+    cg_iters: int = 48,
+    use_huber: bool = True,
+    lam0: float = 1e-4,
+):
+    """Run n_iters LM steps; returns updated BAProblem (poses + points).
+
+    Each step: build block system -> Schur-reduce -> PCG on cameras ->
+    back-substitute points -> accept/reject by robust cost.
+    """
+    C = prob.cam_Tcw.shape[0]
+    P = prob.pt_pos.shape[0]
+    is_stereo = prob.obs_ur >= 0
+    delta = jnp.sqrt(jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO))
+    free_cam = (~prob.cam_fixed).astype(jnp.float32)[:, None]  # (C, 1)
+    free_pt = prob.pt_valid.astype(jnp.float32)[:, None]
+
+    def total_cost(cam_Tcw, pt_pos):
+        r, _, _, z = _residuals(cam_Tcw, pt_pos, prob, fx, fy, cx, cy, bf)
+        c2 = _chi2(r, prob.obs_inv_sigma2, is_stereo)
+        rho = _robust_cost(c2, delta, use_huber)
+        return jnp.sum(rho * prob.obs_mask * (z > 0))
+
+    def lm_step(_, carry):
+        cam_Tcw, pt_pos, lam = carry
+        r, J_cam, J_pt, z = _residuals(cam_Tcw, pt_pos, prob, fx, fy, cx, cy, bf)
+        c2 = _chi2(r, prob.obs_inv_sigma2, is_stereo)
+        e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+        w_huber = jnp.where(use_huber & (e > delta), delta / e, 1.0)
+        w = prob.obs_inv_sigma2 * w_huber * prob.obs_mask * (z > 0)
+        row_w = jnp.stack([w, w, w * is_stereo], axis=1)  # (O, 3)
+        Jc_w = J_cam * row_w[:, :, None]  # (O, 3, 6)
+        Jp_w = J_pt * row_w[:, :, None]  # (O, 3, 3)
+
+        U = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
+            jnp.einsum("oij,oik->ojk", Jc_w, J_cam)
+        )
+        V = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
+            jnp.einsum("oij,oik->ojk", Jp_w, J_pt)
+        )
+        Wo = jnp.einsum("oij,oik->ojk", Jc_w, J_pt)  # (O, 6, 3)
+        b_c = jnp.zeros((C, 6)).at[prob.obs_cam].add(-jnp.einsum("oij,oi->oj", Jc_w, r))
+        b_p = jnp.zeros((P, 3)).at[prob.obs_pt].add(-jnp.einsum("oij,oi->oj", Jp_w, r))
+
+        # LM damping (multiplicative on the diagonal).
+        U_d = U + lam * jax.vmap(jnp.diag)(jnp.diagonal(U, axis1=1, axis2=2))
+        V_d = V + lam * jax.vmap(jnp.diag)(jnp.diagonal(V, axis1=1, axis2=2))
+        V_inv = _inv3x3(V_d)
+
+        # Schur RHS: b~ = b_c - W V^-1 b_p
+        Vb = jnp.einsum("pij,pj->pi", V_inv, b_p)  # (P, 3)
+        WVb = jnp.einsum("oij,oj->oi", Wo, Vb[prob.obs_pt])  # (O, 6)
+        b_red = b_c - jnp.zeros((C, 6)).at[prob.obs_cam].add(WVb)
+
+        def S_matvec(x):  # x: (C, 6)
+            x = x * free_cam.reshape(C, 1)
+            t1 = jnp.einsum("cij,cj->ci", U_d, x)
+            Wx = jnp.einsum("oij,oi->oj", Wo, x[prob.obs_cam])  # (O, 3)
+            y = jnp.zeros((P, 3)).at[prob.obs_pt].add(Wx)
+            y = jnp.einsum("pij,pj->pi", V_inv, y)
+            t2 = jnp.zeros((C, 6)).at[prob.obs_cam].add(
+                jnp.einsum("oij,oj->oi", Wo, y[prob.obs_pt])
+            )
+            return (t1 - t2) * free_cam.reshape(C, 1)
+
+        M_inv = _inv6x6(U_d)  # block-Jacobi preconditioner
+
+        def precond(x):
+            return jnp.einsum("cij,cj->ci", M_inv, x) * free_cam.reshape(C, 1)
+
+        b_eff = b_red * free_cam.reshape(C, 1)
+
+        def cg_body(_, cg):
+            x, rr, pdir, rz = cg
+            Sp = S_matvec(pdir)
+            denom = jnp.sum(pdir * Sp)
+            alpha = jnp.where(jnp.abs(denom) > 1e-12, rz / denom, 0.0)
+            x = x + alpha * pdir
+            rr = rr - alpha * Sp
+            zz = precond(rr)
+            rz_new = jnp.sum(rr * zz)
+            beta = jnp.where(jnp.abs(rz) > 1e-12, rz_new / rz, 0.0)
+            pdir = zz + beta * pdir
+            return (x, rr, pdir, rz_new)
+
+        x0 = jnp.zeros((C, 6))
+        r0 = b_eff
+        z0 = precond(r0)
+        cg0 = (x0, r0, z0, jnp.sum(r0 * z0))
+        dx_c, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, cg0)
+
+        # Back-substitute landmarks: dy = V^-1 (b_p - W^T dx)
+        Wt_dx = jnp.zeros((P, 3)).at[prob.obs_pt].add(
+            jnp.einsum("oij,oi->oj", Wo, dx_c[prob.obs_cam])
+        )
+        dy = jnp.einsum("pij,pj->pi", V_inv, b_p - Wt_dx) * free_pt
+
+        cam_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, cam_Tcw)
+        cam_new = jnp.where(prob.cam_fixed[:, None, None], cam_Tcw, cam_new)
+        pt_new = pt_pos + dy
+
+        improved = total_cost(cam_new, pt_new) < total_cost(cam_Tcw, pt_pos)
+        cam_Tcw = jnp.where(improved, cam_new, cam_Tcw)
+        pt_pos = jnp.where(improved, pt_new, pt_pos)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        return (cam_Tcw, pt_pos, lam)
+
+    cam_Tcw, pt_pos, _ = jax.lax.fori_loop(
+        0, n_iters, lm_step, (prob.cam_Tcw, prob.pt_pos, jnp.float32(lam0))
+    )
+    return prob._replace(cam_Tcw=cam_Tcw, pt_pos=pt_pos)
+
+
+def local_ba(prob: BAProblem, fx, fy, cx, cy, bf,
+             iters1: int = 5, iters2: int = 10, cg_iters: int = 48):
+    """The reference LocalBundleAdjustment schedule (src/Optimizer.cc:577-715):
+    iters1 robust LM steps, outlier demotion, iters2 more steps, final
+    outlier classification. Returns (problem, final obs_mask)."""
+    prob = bundle_adjust(prob, fx, fy, cx, cy, bf, n_iters=iters1, cg_iters=cg_iters)
+    mask = classify_outliers(prob, fx, fy, cx, cy, bf)
+    prob = prob._replace(obs_mask=mask)
+    prob = bundle_adjust(prob, fx, fy, cx, cy, bf, n_iters=iters2, cg_iters=cg_iters)
+    final_mask = classify_outliers(prob, fx, fy, cx, cy, bf)
+    return prob, final_mask

@@ -1,0 +1,162 @@
+"""Single-pose optimization: batched Levenberg-Marquardt over reprojection
+residuals (replaces reference Optimizer::PoseOptimization,
+src/Optimizer.cc:245-457, which drives g2o with unary SE3 edges).
+
+The reference runs 4 rounds x 10 LM iterations, reclassifying inliers by
+chi2 between rounds (thresholds 5.991 mono / 7.815 stereo) and dropping the
+Huber kernel for the final round. Here each round is a lax.fori_loop of LM
+steps over *all* residuals at once: per-observation 2x6 (mono) or 3x6
+(stereo) analytic Jacobians, IRLS Huber weights, a 6x6 normal-equation solve,
+and a left-multiplicative se3 update T <- exp(dx) @ T.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from my_orb_slam2_tpu.ops import lie
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+def _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf):
+    """Per-observation residual (3,) and Jacobian (3, 6) wrt left-mult xi.
+
+    Row 2 (the stereo u_r residual) is valid only where ur >= 0; the caller
+    masks it. Residual = prediction - measurement.
+    """
+    R = Tcw[:3, :3]
+    t = Tcw[:3, 3]
+    pc = pts_w @ R.T + t  # (N, 3)
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z_safe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+    u_pred = fx * x * iz + cx
+    v_pred = fy * y * iz + cy
+    ur_pred = u_pred - bf * iz
+    r = jnp.stack([u_pred - uv[:, 0], v_pred - uv[:, 1], ur_pred - ur], axis=1)
+
+    # d(pc)/d(xi) with xi = [ups, omega], T <- exp(xi) T: dpc = dups + domega x pc
+    # => J_pc = [I_3 | -hat(pc)] per point.
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    # J_proj: rows du/dpc, dv/dpc, dur/dpc  (N, 3, 3)
+    du = jnp.stack([fx * iz, zero, -fx * x * iz2], axis=1)
+    dv = jnp.stack([zero, fy * iz, -fy * y * iz2], axis=1)
+    dur = du + jnp.stack([zero, zero, bf * iz2], axis=1)
+    J_proj = jnp.stack([du, dv, dur], axis=1)  # (N, 3, 3)
+    # J_pc: (N, 3, 6)
+    hat_pc = jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=1),
+            jnp.stack([z, zero, -x], axis=1),
+            jnp.stack([-y, x, zero], axis=1),
+        ],
+        axis=1,
+    )
+    I3 = jnp.broadcast_to(jnp.eye(3), hat_pc.shape)
+    J_pc = jnp.concatenate([I3, -hat_pc], axis=2)  # (N, 3, 6)
+    J = J_proj @ J_pc  # (N, 3, 6)
+    return r, J, z
+
+
+def _chi2(r, inv_sigma2, is_stereo):
+    """Per-observation chi2: mono uses rows 0-1, stereo rows 0-2."""
+    e2 = r[:, 0] ** 2 + r[:, 1] ** 2 + jnp.where(is_stereo, r[:, 2] ** 2, 0.0)
+    return e2 * inv_sigma2
+
+
+@partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
+def pose_optimization(
+    Tcw0,
+    pts_w,
+    uv,
+    ur,
+    inv_sigma2,
+    mask,
+    fx,
+    fy,
+    cx,
+    cy,
+    bf,
+    n_rounds: int = 4,
+    n_iters: int = 10,
+):
+    """Optimize a world->camera pose against fixed 3D points.
+
+    Args:
+      Tcw0: (4,4) initial pose.
+      pts_w: (N,3) matched MapPoint positions.
+      uv: (N,2) observed pixels; ur: (N,) observed right-u (-1 if mono).
+      inv_sigma2: (N,) information weight of the keypoint octave.
+      mask: (N,) valid-match mask.
+
+    Returns dict(Tcw, inliers (N,), n_inliers, chi2 (N,)).
+    """
+    is_stereo = ur >= 0.0
+    chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    delta_huber = jnp.sqrt(chi2_th)
+
+    def lm_round(round_i, state):
+        Tcw, inlier = state
+        use_huber = round_i < (n_rounds - 1)  # final round: plain LSQ
+
+        def lm_iter(it, inner):
+            Tcw, lam = inner
+            r, J, z = _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf)
+            c2 = _chi2(r, inv_sigma2, is_stereo)
+            # Huber IRLS weight on the residual norm (rho'(s) implemented as
+            # w = delta/|e| beyond the kink).
+            e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+            w_huber = jnp.where(use_huber & (e > delta_huber), delta_huber / e, 1.0)
+            w = inv_sigma2 * w_huber * mask * inlier * (z > 0)
+            # Zero the stereo row for mono observations.
+            row_w = jnp.stack([w, w, w * is_stereo], axis=1)  # (N, 3)
+            Jw = J * row_w[:, :, None]
+            H = jnp.einsum("nij,nik->jk", Jw, J)
+            b = -jnp.einsum("nij,ni->j", Jw, r)
+            H_lm = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6)
+            dx = jnp.linalg.solve(H_lm, b)
+            T_new = lie.se3_exp(dx) @ Tcw
+            # Accept if total robust cost decreased.
+            r2, _, z2 = _residuals_and_jac(T_new, pts_w, uv, ur, fx, fy, cx, cy, bf)
+            c2_new = _chi2(r2, inv_sigma2, is_stereo)
+
+            def cost(c2v, zv):
+                s = jnp.sqrt(jnp.maximum(c2v, 1e-12))
+                rho = jnp.where(
+                    use_huber & (s > delta_huber),
+                    2.0 * delta_huber * s - delta_huber * delta_huber,
+                    c2v,
+                )
+                return jnp.sum(rho * mask * inlier * (zv > 0))
+
+            improved = cost(c2_new, z2) < cost(c2, z)
+            Tcw = jnp.where(improved, T_new, Tcw)
+            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+            return (Tcw, lam)
+
+        Tcw, _ = jax.lax.fori_loop(0, n_iters, lm_iter, (Tcw, jnp.float32(1e-4)))
+        # Reclassify inliers for the next round (reference
+        # src/Optimizer.cc:390-444: outliers by chi2, depth must be positive).
+        r, _, z = _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf)
+        c2 = _chi2(r, inv_sigma2, is_stereo)
+        inlier = (c2 <= chi2_th) & (z > 0) & mask
+        return (Tcw, inlier.astype(jnp.float32))
+
+    state = (Tcw0, mask.astype(jnp.float32))
+    Tcw, inlier = jax.lax.fori_loop(0, n_rounds, lm_round, state)
+    r, _, z = _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf)
+    c2 = _chi2(r, inv_sigma2, is_stereo)
+    inliers = (c2 <= chi2_th) & (z > 0) & mask
+    return {
+        "Tcw": Tcw,
+        "inliers": inliers,
+        "n_inliers": jnp.sum(inliers),
+        "chi2": c2,
+    }
