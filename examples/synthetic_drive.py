@@ -1,0 +1,43 @@
+"""End-to-end drive of the public library surface on a synthetic world:
+stereo initialization -> per-frame tracking -> keyframe creation.
+Usage: PYTHONPATH=. python examples/synthetic_drive.py [--frames N]
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from my_orb_slam2_tpu.utils.config import SlamConfig, CameraConfig, CapacityConfig, Sensor
+from my_orb_slam2_tpu.utils.synthetic import SyntheticWorld, ate_rmse
+from my_orb_slam2_tpu.models.tracking import Tracker, TrackingState
+
+n_frames = int(sys.argv[sys.argv.index("--frames") + 1]) if "--frames" in sys.argv else 40
+
+cfg = SlamConfig(
+    sensor=Sensor.STEREO,
+    camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0, th_depth=40.0),
+    capacity=CapacityConfig(max_keyframes=128, max_map_points=16384),
+)
+CAP = 512
+world = SyntheticWorld(cfg, n_landmarks=6000, seed=0)
+poses = world.circular_trajectory(n_frames, forward_per_frame=0.08, yaw_per_frame=0.004)
+tracker = Tracker(cfg, CAP)
+est = []
+t0 = time.time()
+for i, Tcw in enumerate(poses):
+    frame, _ = world.observe(Tcw, CAP, seed=1000 + i)
+    info = tracker.track(frame, i / 30.0)
+    est.append(info["Tcw"])
+    if info["state"] != TrackingState.OK and i > 0:
+        print(f"frame {i}: TRACKING LOST ({info})")
+        sys.exit(1)
+elapsed = time.time() - t0
+ate = ate_rmse(np.stack(est), poses)
+n_kf = tracker.kf_counter
+print(f"frames={n_frames} kfs={n_kf} ate_rmse={ate:.4f}m wall={elapsed:.1f}s ({n_frames/elapsed:.1f} fps incl. compile)")
+# Pure odometry (no local BA yet) drifts ~3%/m with yaw; tighten this
+# gate when local mapping lands.
+assert ate < 0.25, f"ATE too large: {ate}"
+print("DRIVE OK")

@@ -1,0 +1,594 @@
+"""Tracking: the per-frame pose pipeline (reference src/Tracking.cc).
+
+Architecture: all heavy per-frame work is in jitted pure functions over
+(MapState, FrameData) — motion-model search + pose optimization, local-map
+tracking, keyframe creation — while a thin host `Tracker` runs the state
+machine (NOT_INITIALIZED / OK / LOST, reference include/Tracking.h:81-87),
+the keyframe policy, and the trajectory log. Per frame only a handful of
+scalars cross device->host.
+
+Mapping of reference methods:
+- TrackWithMotionModel (src/Tracking.cc:915-984) -> `track_motion`
+- TrackReferenceKeyFrame (src/Tracking.cc:805-847) -> `track_ref_kf`
+- TrackLocalMap + UpdateLocalKeyFrames/Points + SearchLocalPoints
+  (src/Tracking.cc:991-1442) -> `track_local_map`
+- StereoInitialization (src/Tracking.cc:556-609) -> `Tracker.initialize_stereo`
+- NeedNewKeyFrame / CreateNewKeyFrame (src/Tracking.cc:1049-1226) ->
+  `Tracker._need_new_keyframe` / `insert_keyframe_with_points`
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from my_orb_slam2_tpu.models import map_state as ms
+from my_orb_slam2_tpu.models.frame import FrameData
+from my_orb_slam2_tpu.ops import lie, matching, pose_opt
+from my_orb_slam2_tpu.ops.projection import frustum_check, predict_scale
+from my_orb_slam2_tpu.utils.config import SlamConfig
+
+INVALID = -1
+
+
+class TrackResult(NamedTuple):
+    Tcw: jnp.ndarray  # (4,4)
+    cur_mp: jnp.ndarray  # (N,) map point id per keypoint slot
+    n_matches: jnp.ndarray  # () i32 matches used for pose opt
+    n_inliers: jnp.ndarray  # () i32 inliers after pose opt
+
+
+# ---------------------------------------------------------------------------
+# Jitted tracking stages
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_motion(
+    cfg: SlamConfig,
+    state: ms.MapState,
+    frame: FrameData,
+    last_uv,
+    last_mp,
+    last_valid,
+    Tcw_pred,
+):
+    """Motion-model tracking: project last frame's map points into the
+    current frame, window-search, pose-optimize (reference
+    TrackWithMotionModel src/Tracking.cc:915-984 + matcher variant (2)
+    src/ORBmatcher.cc:1392)."""
+    cam = cfg.camera
+    MP = state.mp_pos.shape[0]
+    lm = jnp.where(last_valid & (last_mp >= 0), last_mp, 0)
+    pt_ok = last_valid & (last_mp >= 0) & jnp.take(state.mp_valid, lm)
+    pts_w = jnp.take(state.mp_pos, lm, axis=0)
+    pt_desc = jnp.take(state.mp_desc, lm, axis=0)
+
+    from my_orb_slam2_tpu.ops.projection import project_stereo
+
+    uvr, z = project_stereo(Tcw_pred, pts_w, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    pred_valid = pt_ok & (z > 0.0)
+    # Level window around the last observed octave (reference forward/backward
+    # logic src/ORBmatcher.cc:1433-1458; the symmetric +-1 window is the
+    # masked equivalent covering both cases).
+    last_oct = frame.octave * 0  # placeholder replaced below
+    # Use last frame's keypoint octaves via last_mp slots -> we carry octave
+    # with uv: the caller passes last frame's octaves aligned with last_mp.
+    del last_oct
+
+    sf = jnp.asarray([cfg.orb.scale_factor ** l for l in range(cfg.orb.n_levels)], jnp.float32)
+
+    def run_search(th):
+        # radius scales with the *candidate* octave in the reference; using
+        # the predicted point's stored octave via its last observation is
+        # equivalent at +-1 level.
+        radius = th * jnp.ones_like(z)
+        idx, ok, dist = matching.search_by_projection(
+            uvr[:, :2],
+            jnp.zeros_like(z, jnp.int32),
+            pred_valid,
+            pt_desc,
+            radius,
+            frame.uv,
+            frame.octave,
+            frame.valid,
+            frame.desc,
+            kp_ur=frame.ur,
+            pred_ur=uvr[:, 2],
+            level_lo=jnp.zeros_like(z, jnp.int32),
+            level_hi=jnp.full_like(z, cfg.orb.n_levels - 1, dtype=jnp.int32),
+            max_dist=matching.TH_HIGH,
+            ratio=0.9,
+        )
+        return idx, ok
+
+    th0 = 7.0 if cfg.sensor.name == "STEREO" else 15.0
+    idx, ok = run_search(th0)
+    n0 = jnp.sum(ok)
+
+    idx2, ok2 = run_search(2 * th0)
+    use_wide = n0 < cfg.tracking.min_motion_matches
+    idx = jnp.where(use_wide, idx2, idx)
+    ok = jnp.where(use_wide, ok2, ok)
+
+    # Build per-keypoint assignment: keypoint idx[i] observes point lm[i].
+    N = frame.uv.shape[0]
+    cur_mp = jnp.full((N,), INVALID, jnp.int32).at[jnp.where(ok, idx, N - 1)].max(
+        jnp.where(ok, lm, INVALID), mode="drop"
+    )
+    # Pose optimization on assigned matches.
+    res = _pose_opt_on_assignment(cfg, state, frame, cur_mp, Tcw_pred)
+    return TrackResult(res["Tcw"], res["cur_mp"], jnp.sum(ok), res["n_inliers"])
+
+
+def _pose_opt_on_assignment(cfg: SlamConfig, state, frame, cur_mp, Tcw0):
+    """Pose-optimize the frame against its assigned map points; demote
+    outlier assignments (reference pattern after every track stage,
+    e.g. src/Tracking.cc:960-983)."""
+    cam = cfg.camera
+    MP = state.mp_pos.shape[0]
+    lm = jnp.where(cur_mp >= 0, cur_mp, 0)
+    mask = (cur_mp >= 0) & frame.valid & jnp.take(state.mp_valid, lm)
+    pts_w = jnp.take(state.mp_pos, lm, axis=0)
+    inv_s2 = 1.0 / jnp.asarray(
+        [cfg.orb.scale_factor ** (2 * l) for l in range(cfg.orb.n_levels)], jnp.float32
+    )[frame.octave]
+    res = pose_opt.pose_optimization(
+        Tcw0, pts_w, frame.uv, frame.ur, inv_s2, mask,
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+    )
+    cur_mp = jnp.where(res["inliers"], cur_mp, INVALID)
+    return {"Tcw": res["Tcw"], "cur_mp": cur_mp, "n_inliers": res["n_inliers"]}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_ref_kf(cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_id, Tcw0):
+    """Reference-keyframe tracking: descriptor matching against one KF's
+    features + pose opt (reference TrackReferenceKeyFrame
+    src/Tracking.cc:805-847 via SearchByBoW)."""
+    kf_desc = state.kf_desc[kf_id]
+    kf_valid_kp = state.kf_kp_valid[kf_id]
+    kf_mp = state.kf_mp[kf_id]
+    has_mp = kf_mp >= 0
+    idx, ok, dist = matching.search_brute(
+        frame.desc,
+        frame.valid,
+        kf_desc,
+        kf_valid_kp & has_mp,
+        frame.angle,
+        state.kf_angle[kf_id],
+        max_dist=matching.TH_LOW,
+        ratio=0.7,
+    )
+    cur_mp = jnp.where(ok, jnp.take(kf_mp, idx), INVALID)
+    n_matches = jnp.sum(cur_mp >= 0)
+    res = _pose_opt_on_assignment(cfg, state, frame, cur_mp, Tcw0)
+    return TrackResult(res["Tcw"], res["cur_mp"], n_matches, res["n_inliers"])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_local_map(
+    cfg: SlamConfig,
+    state: ms.MapState,
+    frame: FrameData,
+    Tcw,
+    cur_mp,
+):
+    """Local-map tracking (reference TrackLocalMap src/Tracking.cc:991-1035):
+    build the local keyframe set from covisibility, project their points,
+    search, pose-optimize; also returns keyframe-policy statistics and
+    updated visible/found counters.
+    """
+    cam = cfg.camera
+    KF = state.kf_Tcw.shape[0]
+    MP = state.mp_pos.shape[0]
+    N = frame.uv.shape[0]
+
+    # --- K1: keyframes observing current matched points ------------------
+    lm = jnp.where(cur_mp >= 0, cur_mp, MP)
+    seen = jnp.zeros((MP + 1,), jnp.int32).at[lm].set(1).at[MP].set(0)
+    kf_mp_safe = jnp.where(state.kf_mp >= 0, state.kf_mp, MP)
+    k1_score = jnp.sum(jnp.take(seen, kf_mp_safe), axis=1) * state.kf_valid  # (KF,)
+    ref_kf = jnp.argmax(k1_score)
+
+    # --- K2: covisible neighborhood of K1 ---------------------------------
+    k1 = k1_score > 0
+    neigh_w = jnp.max(jnp.where(k1[:, None], state.covis, 0), axis=0)  # (KF,)
+    # Parent of ref KF also included (reference adds parents/children).
+    parent = state.kf_parent[ref_kf]
+    par_mask = (jnp.arange(KF) == parent) & (parent >= 0)
+    local_score = (
+        k1_score.astype(jnp.float32) * 1e6
+        + neigh_w.astype(jnp.float32)
+        + par_mask.astype(jnp.float32)
+    ) * state.kf_valid
+    cap = min(cfg.tracking.max_local_keyframes, KF)
+    top_scores, top_ids = jax.lax.top_k(local_score, cap)
+    local_kf_mask = jnp.zeros((KF,), bool).at[top_ids].set(top_scores > 0)
+
+    # --- local points: union of observations of local KFs -----------------
+    obs_sel = local_kf_mask[:, None] & (state.kf_mp >= 0) & state.kf_kp_valid
+    local_pt = jnp.zeros((MP + 1,), bool).at[
+        jnp.where(obs_sel, state.kf_mp, MP).reshape(-1)
+    ].set(True)[:MP]
+    local_pt = local_pt & state.mp_valid
+
+    # Points already matched in this frame: mark found+visible (reference
+    # src/Tracking.cc:1234-1244), exclude from search.
+    already = jnp.zeros((MP,), bool).at[jnp.where(cur_mp >= 0, cur_mp, 0)].set(
+        cur_mp >= 0
+    )
+    search_pt = local_pt & ~already
+
+    # --- frustum cull + predicted projection ------------------------------
+    ok_f, uv_p, z_p, dist_p, view_cos = frustum_check(
+        Tcw,
+        state.mp_pos,
+        state.mp_normal,
+        state.mp_min_dist * 0.8,
+        state.mp_max_dist * 1.2,
+        cam.fx, cam.fy, cam.cx, cam.cy,
+        0.0, float(cam.width), 0.0, float(cam.height),
+    )
+    in_frustum = search_pt & ok_f
+    log_sf = float(np.log(cfg.orb.scale_factor))
+    pred_level = predict_scale(dist_p, state.mp_max_dist * 1.2, log_sf, cfg.orb.n_levels)
+    sf_tab = jnp.asarray(
+        [cfg.orb.scale_factor ** l for l in range(cfg.orb.n_levels)], jnp.float32
+    )
+    # th=1 base radius; 2.5 if view_cos>0.998 else 4.0, scaled by level
+    # (reference RadiusByViewingCos src/ORBmatcher.cc:134-140, th
+    # multiplication src/ORBmatcher.cc:87).
+    r0 = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    radius = r0 * jnp.take(sf_tab, pred_level)
+
+    # Predicted stereo right-u for consistency gating.
+    ur_p = uv_p[:, 0] - cam.bf / jnp.where(z_p > 1e-6, z_p, 1e9)
+
+    kp_taken = jnp.zeros((N,), bool).at[jnp.arange(N)].set(False)
+    # keypoints already bound via cur_mp
+    kp_taken = cur_mp >= 0
+
+    idx, ok, dist = matching.search_by_projection(
+        uv_p,
+        pred_level,
+        in_frustum,
+        state.mp_desc,
+        radius,
+        frame.uv,
+        frame.octave,
+        frame.valid,
+        frame.desc,
+        kp_ur=frame.ur,
+        pred_ur=ur_p,
+        level_lo=pred_level - 1,
+        level_hi=pred_level,
+        max_dist=float(cfg.matcher.th_high),
+        ratio=0.8,
+        kp_taken=kp_taken,
+    )
+    # new assignments: keypoint idx[p] observes point p
+    add_mp = jnp.full((N,), INVALID, jnp.int32).at[
+        jnp.where(ok, idx, N - 1)
+    ].max(jnp.where(ok, jnp.arange(MP), INVALID), mode="drop")
+    cur_mp2 = jnp.where(cur_mp >= 0, cur_mp, add_mp)
+
+    # --- pose optimization on the full set --------------------------------
+    res = _pose_opt_on_assignment(cfg, state, frame, cur_mp2, Tcw)
+    cur_mp_final = res["cur_mp"]
+
+    # --- counters: visible (in frustum) / found (matched inlier) ----------
+    visible_inc = (in_frustum | already).astype(jnp.int32)
+    matched_mask = jnp.zeros((MP,), bool).at[
+        jnp.where(cur_mp_final >= 0, cur_mp_final, 0)
+    ].set(cur_mp_final >= 0)
+    found_inc = matched_mask.astype(jnp.int32)
+    state = state._replace(
+        mp_visible=state.mp_visible + visible_inc,
+        mp_found=state.mp_found + found_inc,
+    )
+
+    # --- keyframe-policy statistics ---------------------------------------
+    # nRefMatches: reference KF tracked points with >=3 observations
+    # (reference src/Tracking.cc:1073 TrackedMapPoints(minObs)).
+    ref_mp = state.kf_mp[ref_kf]
+    ref_ok = (ref_mp >= 0) & state.kf_kp_valid[ref_kf]
+    ref_lm = jnp.where(ref_ok, ref_mp, 0)
+    ref_matches = jnp.sum(
+        ref_ok & (jnp.take(state.mp_n_obs, ref_lm) >= 3) & jnp.take(state.mp_valid, ref_lm)
+    )
+    # Close-point starvation stats (reference src/Tracking.cc:1076-1092).
+    close = (frame.depth > 0) & (frame.depth < cam.close_depth) & frame.valid
+    tracked_close = jnp.sum(close & (cur_mp_final >= 0))
+    nontracked_close = jnp.sum(close & (cur_mp_final < 0))
+
+    stats = jnp.stack(
+        [
+            res["n_inliers"],
+            ref_matches,
+            tracked_close,
+            nontracked_close,
+            ref_kf,
+            jnp.sum(local_kf_mask.astype(jnp.int32)),
+        ]
+    )
+    return state, TrackResult(res["Tcw"], cur_mp_final, jnp.sum(ok), res["n_inliers"]), stats
+
+
+# ---------------------------------------------------------------------------
+# Keyframe insertion with stereo point creation
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "min_new_points"), donate_argnames=("state",))
+def insert_keyframe_with_points(
+    cfg: SlamConfig,
+    state: ms.MapState,
+    frame: FrameData,
+    Tcw,
+    cur_mp,
+    frame_id,
+    timestamp,
+    min_new_points: int = 100,
+):
+    """Insert a keyframe and spawn close stereo/RGB-D map points for
+    unmatched keypoints (reference CreateNewKeyFrame
+    src/Tracking.cc:1142-1226: depth-sorted, create while depth<ThDepth or
+    count<100)."""
+    cam = cfg.camera
+    state, kf_id = ms.insert_keyframe(
+        state,
+        Tcw,
+        frame_id,
+        timestamp,
+        frame.uv,
+        frame.ur,
+        frame.depth,
+        frame.octave,
+        frame.angle,
+        frame.desc,
+        frame.valid,
+        cur_mp,
+    )
+    if cam.bf > 0:
+        # Candidates: valid kps with depth, no map point yet.
+        cand = frame.valid & (frame.depth > 0) & (cur_mp < 0)
+        depth_key = jnp.where(cand, frame.depth, jnp.inf)
+        order = jnp.argsort(depth_key)
+        rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+        want = cand & ((frame.depth < cam.close_depth) | (rank < min_new_points))
+        state, slots, ok = _spawn_points_from_frame(cfg, state, frame, Tcw, kf_id, want)
+        # wire into this KF's rows
+        new_mp_row = jnp.where(ok, slots, state.kf_mp[kf_id])
+        state = state._replace(
+            kf_mp=state.kf_mp.at[kf_id].set(new_mp_row),
+            mp_n_obs=state.mp_n_obs.at[jnp.where(ok, slots, state.mp_pos.shape[0] - 1)].add(
+                jnp.where(ok, jnp.where(frame.ur >= 0, 2, 1), 0), mode="drop"
+            ),
+        )
+    return state, kf_id
+
+
+def _spawn_points_from_frame(cfg, state, frame, Tcw, kf_id, want):
+    """Back-project keypoints with depth into new map points."""
+    cam = cfg.camera
+    from my_orb_slam2_tpu.ops.projection import backproject
+
+    pc = backproject(frame.uv, frame.depth, cam.fx, cam.fy, cam.cx, cam.cy)
+    Twc = lie.se3_inverse(Tcw)
+    pw = lie.se3_apply(Twc, pc)
+    Ow = Twc[:3, 3]
+    d = pw - Ow
+    dist = jnp.linalg.norm(d, axis=-1)
+    normal = d / jnp.maximum(dist[:, None], 1e-9)
+    sf = cfg.orb.scale_factor
+    level_sf = sf ** frame.octave.astype(jnp.float32)
+    max_dist = dist * level_sf
+    min_dist = max_dist / (sf ** (cfg.orb.n_levels - 1))
+    state, slots, ok = ms.add_map_points(
+        state,
+        pw,
+        frame.desc,
+        normal,
+        min_dist,
+        max_dist,
+        jnp.full(frame.uv.shape[0], kf_id, jnp.int32),
+        want,
+    )
+    return state, slots, ok
+
+
+# ---------------------------------------------------------------------------
+# Host-side tracker (state machine)
+# ---------------------------------------------------------------------------
+
+
+class TrackingState:
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+class Tracker:
+    """Host orchestration of the per-frame pipeline. Mirrors the reference
+    Tracking state machine; owns velocity model + trajectory log."""
+
+    def __init__(self, cfg: SlamConfig, capacity: int, local_mapper=None):
+        self.cfg = cfg
+        self.capacity = capacity
+        self.state = TrackingState.NOT_INITIALIZED
+        self.map = ms.init_map_state(cfg, capacity)
+        self.velocity: Optional[np.ndarray] = None
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.last_frame: Optional[FrameData] = None
+        self.last_mp = None
+        self.frame_id = 0
+        self.last_kf_frame_id = 0
+        self.last_reloc_frame_id = -(10 ** 9)
+        self.n_kf = 0
+        self.ref_kf = 0
+        self.local_mapper = local_mapper
+        self.trajectory = []  # (frame_id, timestamp, Tcw 4x4 np)
+        self.kf_counter = 0
+
+    # -- initialization ----------------------------------------------------
+
+    def initialize_stereo(self, frame: FrameData, timestamp: float) -> bool:
+        n_depth = int(jnp.sum(frame.valid & (frame.depth > 0)))
+        if n_depth < self.cfg.tracking.min_stereo_init_points:
+            return False
+        Tcw = jnp.eye(4)
+        cur_mp = jnp.full((self.capacity,), INVALID, jnp.int32)
+        # Initialization creates a point for every depth-valid keypoint
+        # (reference StereoInitialization src/Tracking.cc:575-597), unlike
+        # the close/100 policy of later keyframes.
+        self.map, kf_id = insert_keyframe_with_points(
+            self.cfg, self.map, frame, Tcw, cur_mp,
+            jnp.int32(self.frame_id), jnp.float32(timestamp),
+            min_new_points=self.capacity,
+        )
+        # Every created point is now assigned in kf row; mirror into cur_mp.
+        self.last_mp = self.map.kf_mp[kf_id]
+        self.last_frame = frame
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.state = TrackingState.OK
+        self.n_kf = int(self.map.n_kf)
+        self.ref_kf = int(kf_id)
+        self.last_kf_frame_id = self.frame_id
+        self.kf_counter += 1
+        if self.local_mapper is not None:
+            self.map = self.local_mapper.process(self.map, int(kf_id))
+        return True
+
+    # -- per-frame ---------------------------------------------------------
+
+    def track(self, frame: FrameData, timestamp: float) -> dict:
+        """Process one frame; returns dict with pose + status scalars."""
+        info = {"state": self.state, "kf": False}
+        if self.state == TrackingState.NOT_INITIALIZED:
+            if self.cfg.camera.bf > 0:
+                ok = self.initialize_stereo(frame, timestamp)
+                info["initialized"] = ok
+            else:
+                raise NotImplementedError("monocular init handled by MonoInitializer")
+            self._log_pose(timestamp)
+            self.frame_id += 1
+            info["Tcw"] = self.Tcw.copy()
+            info["state"] = self.state
+            return info
+
+        # --- pose prediction + motion-model tracking ----------------------
+        ok = False
+        if self.state == TrackingState.OK:
+            if self.velocity is not None:
+                Tcw_pred = jnp.asarray(self.velocity @ self.Tcw)
+                res = track_motion(
+                    self.cfg, self.map, frame,
+                    self.last_frame.uv, self.last_mp,
+                    self.last_frame.valid, Tcw_pred,
+                )
+                n_inl = int(res.n_inliers)
+                ok = n_inl >= 10
+                info["motion_inliers"] = n_inl
+            if not ok:
+                res = track_ref_kf(
+                    self.cfg, self.map, frame, jnp.int32(self.ref_kf), jnp.asarray(self.Tcw)
+                )
+                n_inl = int(res.n_inliers)
+                ok = n_inl >= 10
+                info["refkf_inliers"] = n_inl
+        else:
+            # LOST: relocalization (wired in by the System once the
+            # keyframe database exists; standalone Tracker just fails).
+            res = None
+
+        if not ok or res is None:
+            self.state = TrackingState.LOST
+            info["state"] = self.state
+            self._log_pose(timestamp)
+            self.frame_id += 1
+            info["Tcw"] = self.Tcw.copy()
+            return info
+
+        # --- local map tracking -------------------------------------------
+        self.map, res2, stats = track_local_map(
+            self.cfg, self.map, frame, res.Tcw, res.cur_mp
+        )
+        stats = np.asarray(stats)
+        n_inliers = int(stats[0])
+        recently_reloc = self.frame_id - self.last_reloc_frame_id < int(self.cfg.camera.fps)
+        min_inl = (
+            self.cfg.tracking.min_localmap_inliers_after_reloc
+            if recently_reloc
+            else self.cfg.tracking.min_localmap_inliers
+        )
+        if n_inliers < min_inl:
+            self.state = TrackingState.LOST
+            info["state"] = self.state
+            info["localmap_inliers"] = n_inliers
+            self._log_pose(timestamp)
+            self.frame_id += 1
+            info["Tcw"] = self.Tcw.copy()
+            return info
+
+        Tcw_new = np.asarray(res2.Tcw)
+        # Velocity model update (reference src/Tracking.cc:462-469).
+        self.velocity = Tcw_new @ np.linalg.inv(self.Tcw)
+        self.Tcw = Tcw_new
+        self.ref_kf = int(stats[4])
+        info["localmap_inliers"] = n_inliers
+
+        # --- keyframe decision --------------------------------------------
+        need_kf = self._need_new_keyframe(stats)
+        if need_kf:
+            self.map, kf_id = insert_keyframe_with_points(
+                self.cfg, self.map, frame, jnp.asarray(self.Tcw), res2.cur_mp,
+                jnp.int32(self.frame_id), jnp.float32(timestamp),
+            )
+            self.n_kf = int(self.map.n_kf)
+            self.last_kf_frame_id = self.frame_id
+            self.ref_kf = int(kf_id)
+            self.kf_counter += 1
+            info["kf"] = True
+            cur_mp = self.map.kf_mp[kf_id]
+            if self.local_mapper is not None:
+                self.map = self.local_mapper.process(self.map, int(kf_id))
+        else:
+            cur_mp = res2.cur_mp
+
+        self.last_frame = frame
+        self.last_mp = cur_mp
+        self._log_pose(timestamp)
+        self.frame_id += 1
+        info["Tcw"] = self.Tcw.copy()
+        info["state"] = self.state
+        return info
+
+    def _need_new_keyframe(self, stats) -> bool:
+        """Reference NeedNewKeyFrame conditions (src/Tracking.cc:1049-1140)."""
+        cfg = self.cfg
+        n_inliers = int(stats[0])
+        ref_matches = int(stats[1])
+        tracked_close = int(stats[2])
+        nontracked_close = int(stats[3])
+        n_kfs = self.n_kf
+        frames_since_kf = self.frame_id - self.last_kf_frame_id
+
+        th_ref = 0.75 if cfg.camera.bf > 0 else 0.9
+        if n_kfs <= 2:
+            th_ref = 0.4
+        need_close = tracked_close < 100 and nontracked_close > 70
+        c1a = frames_since_kf >= cfg.tracking.max_frames_between_kf
+        c1b = frames_since_kf >= cfg.tracking.min_frames_between_kf
+        c1c = cfg.camera.bf > 0 and (n_inliers < ref_matches * 0.25 or need_close)
+        c2 = (n_inliers < ref_matches * th_ref or need_close) and n_inliers > 15
+        if n_kfs >= self.cfg.capacity.max_keyframes:
+            return False
+        return bool((c1a or c1b or c1c) and c2)
+
+    def _log_pose(self, timestamp: float):
+        self.trajectory.append((self.frame_id, timestamp, self.Tcw.copy()))
