@@ -9,9 +9,12 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from my_orb_slam2_tpu.utils.config import SlamConfig, CameraConfig, CapacityConfig, Sensor
+from my_orb_slam2_tpu.utils.config import (
+    SlamConfig, CameraConfig, CapacityConfig, Sensor, TrackingConfig,
+)
 from my_orb_slam2_tpu.utils.synthetic import SyntheticWorld, ate_rmse
 from my_orb_slam2_tpu.models.tracking import Tracker, TrackingState
+from my_orb_slam2_tpu.models.local_mapping import LocalMapper
 
 n_frames = int(sys.argv[sys.argv.index("--frames") + 1]) if "--frames" in sys.argv else 40
 
@@ -19,15 +22,17 @@ cfg = SlamConfig(
     sensor=Sensor.STEREO,
     camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0, th_depth=40.0),
     capacity=CapacityConfig(max_keyframes=128, max_map_points=16384),
+    tracking=TrackingConfig(min_stereo_init_points=150),
 )
 CAP = 512
 world = SyntheticWorld(cfg, n_landmarks=6000, seed=0)
-poses = world.circular_trajectory(n_frames, forward_per_frame=0.08, yaw_per_frame=0.004)
-tracker = Tracker(cfg, CAP)
+poses = world.circular_trajectory(n_frames, forward_per_frame=0.12, yaw_per_frame=0.004)
+mapper = LocalMapper(cfg, run_ba=True, cull_keyframes=True)
+tracker = Tracker(cfg, CAP, local_mapper=mapper)
 est = []
 t0 = time.time()
 for i, Tcw in enumerate(poses):
-    frame, _ = world.observe(Tcw, CAP, seed=1000 + i)
+    frame, _ = world.observe(Tcw, CAP, seed=1000 + i, stereo_fraction=0.6)
     info = tracker.track(frame, i / 30.0)
     est.append(info["Tcw"])
     if info["state"] != TrackingState.OK and i > 0:
@@ -36,8 +41,7 @@ for i, Tcw in enumerate(poses):
 elapsed = time.time() - t0
 ate = ate_rmse(np.stack(est), poses)
 n_kf = tracker.kf_counter
-print(f"frames={n_frames} kfs={n_kf} ate_rmse={ate:.4f}m wall={elapsed:.1f}s ({n_frames/elapsed:.1f} fps incl. compile)")
-# Pure odometry (no local BA yet) drifts ~3%/m with yaw; tighten this
-# gate when local mapping lands.
-assert ate < 0.25, f"ATE too large: {ate}"
+print(f"frames={n_frames} kfs={n_kf} mapper={mapper.stats} ate_rmse={ate:.4f}m "
+      f"wall={elapsed:.1f}s ({n_frames/elapsed:.1f} fps incl. compile)")
+assert ate < 0.10, f"ATE too large: {ate}"
 print("DRIVE OK")

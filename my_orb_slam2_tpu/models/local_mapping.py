@@ -1,0 +1,710 @@
+"""Local mapping: keyframe-triggered map growth + refinement.
+
+Replaces the reference LocalMapping thread (src/LocalMapping.cc) with a
+sequence of jitted passes over the SoA map state, run after each keyframe
+insertion:
+
+1. `map_point_culling`    — reference MapPointCulling (src/LocalMapping.cc:201)
+2. `create_new_map_points`— reference CreateNewMapPoints (:268): epipolar
+   search against the top-K covisible neighbors, DLT triangulation,
+   cheirality / reprojection-chi2 / scale-consistency gates
+3. `fuse_neighbors`       — reference SearchInNeighbors (:530): two-way
+   projection fuse with first+second-ring neighbors, MapPoint::Replace
+   semantics via a replacement map
+4. local bundle adjustment — reference Optimizer::LocalBundleAdjustment
+   (src/Optimizer.cc:459) via ops/ba with a fixed-anchor window
+5. `keyframe_culling`     — reference KeyFrameCulling (:708): redundant
+   keyframes whose points are >=90% covered by >=3 other keyframes at the
+   same or finer octave
+
+All passes are static-shape; the host `LocalMapper.process` chains them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from my_orb_slam2_tpu.models import map_state as ms
+from my_orb_slam2_tpu.ops import ba, lie, matching
+from my_orb_slam2_tpu.ops.projection import (
+    fundamental_from_poses,
+    parallax_cos,
+    project,
+    triangulate_dlt,
+)
+from my_orb_slam2_tpu.utils.config import SlamConfig
+
+INVALID = -1
+
+
+# ---------------------------------------------------------------------------
+# 1. Map point culling
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def map_point_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
+    """Kill recently created points that are under-observed or rarely found
+    (reference src/LocalMapping.cc:201-243):
+      - found/visible ratio < 0.25
+      - age >= 2 keyframes and observations <= threshold (2 mono, 3 stereo)
+    Points older than 3 keyframes graduate and are never culled here.
+    """
+    age = kf_id - state.mp_first_kf  # in keyframe ids
+    recent = (age >= 0) & (age <= 3) & state.mp_valid
+    ratio = state.mp_found.astype(jnp.float32) / jnp.maximum(
+        state.mp_visible.astype(jnp.float32), 1.0
+    )
+    th_obs = 2 if cfg.sensor.name == "MONOCULAR" else 3
+    bad_ratio = recent & (ratio < cfg.mapping.min_found_ratio)
+    bad_obs = recent & (age >= 2) & (state.mp_n_obs <= th_obs)
+    return ms.erase_map_points(state, bad_ratio | bad_obs)
+
+
+# ---------------------------------------------------------------------------
+# 2. New map point creation (triangulation)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_neighbors"), donate_argnames=("state",)
+)
+def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbors: int = 10):
+    """Triangulate new points between the new keyframe and its top covisible
+    neighbors (reference src/LocalMapping.cc:268-528).
+
+    For every unmatched keypoint of kf_id, the best epipolar-consistent match
+    across all neighbors is kept (the reference's sequential first-wins over
+    neighbors becomes a best-wins reduction), then triangulated and gated.
+    """
+    cam = cfg.camera
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    sf = cfg.orb.scale_factor
+    sigma2 = jnp.asarray([sf ** (2 * l) for l in range(cfg.orb.n_levels)], jnp.float32)
+    sf_tab = jnp.asarray([sf ** l for l in range(cfg.orb.n_levels)], jnp.float32)
+
+    neigh_ids, neigh_w = ms.best_covisible(state, kf_id, n_neighbors)
+
+    T1 = state.kf_Tcw[kf_id]
+    uv1 = state.kf_uv[kf_id]
+    oct1 = state.kf_octave[kf_id]
+    ur1 = state.kf_ur[kf_id]
+    depth1 = state.kf_depth[kf_id]
+    desc1 = state.kf_desc[kf_id]
+    valid1 = state.kf_kp_valid[kf_id]
+    has_mp1 = state.kf_mp[kf_id] >= 0
+    O1w = -(T1[:3, :3].T @ T1[:3, 3])
+
+    def per_neighbor(nid, ok_n):
+        T2 = state.kf_Tcw[nid]
+        O2w = -(T2[:3, :3].T @ T2[:3, 3])
+        baseline = jnp.linalg.norm(O2w - O1w)
+        # Baseline gate (reference src/LocalMapping.cc:307-327): stereo
+        # requires baseline > camera baseline; mono requires ratio to median
+        # scene depth > 0.01.
+        if cfg.sensor.name == "MONOCULAR":
+            d2 = state.kf_depth[nid]
+            v2 = state.kf_kp_valid[nid]
+            # median scene depth of neighbor via its observed points
+            mp2 = state.kf_mp[nid]
+            pos2 = jnp.take(state.mp_pos, jnp.clip(mp2, 0, MP - 1), axis=0)
+            pc2 = lie.se3_apply(T2, pos2)
+            zvals = jnp.where((mp2 >= 0) & v2, pc2[:, 2], jnp.nan)
+            med = jnp.nanmedian(zvals)
+            base_ok = baseline / jnp.maximum(med, 1e-6) > 0.01
+        else:
+            base_ok = baseline > cam.baseline
+        F12 = fundamental_from_poses(T1, T2, cam.fx, cam.fy, cam.cx, cam.cy)
+        # Epipole of camera 1 in image 2.
+        e_uv, e_z = project(T2, O1w[None, :], cam.fx, cam.fy, cam.cx, cam.cy)
+        idx2, ok, dist = matching.search_for_triangulation(
+            uv1,
+            valid1,
+            has_mp1,
+            desc1,
+            state.kf_angle[kf_id],
+            ur1,
+            state.kf_uv[nid],
+            state.kf_octave[nid],
+            state.kf_kp_valid[nid],
+            state.kf_mp[nid] >= 0,
+            state.kf_desc[nid],
+            state.kf_angle[nid],
+            state.kf_ur[nid],
+            F12,
+            e_uv[0],
+            jnp.take(sigma2, state.kf_octave[nid]),
+        )
+        ok = ok & ok_n & base_ok
+        return idx2, ok, jnp.where(ok, dist, 1e9)
+
+    idx2_all, ok_all, dist_all = jax.vmap(per_neighbor)(
+        jnp.maximum(neigh_ids, 0), neigh_ids >= 0
+    )  # (K, N)
+
+    # Best neighbor per kp1 slot.
+    best_n = jnp.argmin(dist_all, axis=0)  # (N,)
+    sel = jnp.take_along_axis(ok_all, best_n[None, :], axis=0)[0]
+    sel_idx2 = jnp.take_along_axis(idx2_all, best_n[None, :], axis=0)[0]
+    nid = jnp.take(jnp.maximum(neigh_ids, 0), best_n)  # (N,)
+
+    # --- triangulate each selected pair -----------------------------------
+    T2s = state.kf_Tcw[nid]  # (N, 4, 4)
+    uv2 = jnp.take_along_axis(
+        state.kf_uv[nid], sel_idx2[:, None, None].repeat(2, -1), axis=1
+    )[:, 0, :]
+    oct2 = jnp.take_along_axis(state.kf_octave[nid], sel_idx2[:, None], axis=1)[:, 0]
+    ur2 = jnp.take_along_axis(state.kf_ur[nid], sel_idx2[:, None], axis=1)[:, 0]
+    depth2 = jnp.take_along_axis(state.kf_depth[nid], sel_idx2[:, None], axis=1)[:, 0]
+
+    # Ray parallax between the two observations (reference :358-394).
+    def ray_cos(T, uv):
+        x = (uv[:, 0] - cam.cx) / cam.fx
+        y = (uv[:, 1] - cam.cy) / cam.fy
+        r_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=1)
+        return r_cam @ T[:3, :3]  # == R^T ray -> world
+
+    r1 = (lambda uv: jnp.stack([(uv[:, 0] - cam.cx) / cam.fx, (uv[:, 1] - cam.cy) / cam.fy, jnp.ones_like(uv[:, 0])], 1))(uv1)
+    r1w = r1 @ T1[:3, :3]  # (N, 3) world rays
+    x2 = (uv2[:, 0] - cam.cx) / cam.fx
+    y2 = (uv2[:, 1] - cam.cy) / cam.fy
+    r2 = jnp.stack([x2, y2, jnp.ones_like(x2)], axis=1)
+    r2w = jnp.einsum("ni,nij->nj", r2, T2s[:, :3, :3])
+    cos_rays = jnp.sum(r1w * r2w, axis=1) / jnp.maximum(
+        jnp.linalg.norm(r1w, axis=1) * jnp.linalg.norm(r2w, axis=1), 1e-9
+    )
+    # Stereo parallax comparison (reference cosParallaxStereo).
+    cos_stereo1 = jnp.where(
+        depth1 > 0, jnp.cos(2.0 * jnp.arctan2(cam.baseline / 2.0, depth1)), 1.1
+    )
+    cos_stereo2 = jnp.where(
+        depth2 > 0, jnp.cos(2.0 * jnp.arctan2(cam.baseline / 2.0, depth2)), 1.1
+    )
+    cos_stereo = jnp.minimum(cos_stereo1, cos_stereo2)
+
+    # Triangulate by DLT (batched over slots).
+    def tri_one(T2_i, uv1_i, uv2_i):
+        X, okw = triangulate_dlt(T1, T2_i, uv1_i, uv2_i, cam.fx, cam.fy, cam.cx, cam.cy)
+        return X, okw
+
+    X_dlt, okw = jax.vmap(tri_one)(T2s, uv1, uv2)
+    # Stereo unproject alternatives.
+    from my_orb_slam2_tpu.ops.projection import backproject
+
+    X_st1 = lie.se3_apply(lie.se3_inverse(T1), backproject(uv1, depth1, cam.fx, cam.fy, cam.cx, cam.cy))
+    Twc2 = jax.vmap(lie.se3_inverse)(T2s)
+    X_st2_c = backproject(uv2, depth2, cam.fx, cam.fy, cam.cx, cam.cy)
+    X_st2 = jnp.einsum("nij,nj->ni", Twc2[:, :3, :3], X_st2_c) + Twc2[:, :3, 3]
+
+    good_par = (cos_rays < 0.9998) & (cos_rays > 0) & (cos_rays < cos_stereo)
+    use_st1 = ~good_par & (depth1 > 0) & (cos_stereo1 < cos_stereo2)
+    use_st2 = ~good_par & ~use_st1 & (depth2 > 0)
+    X = jnp.where(
+        good_par[:, None], X_dlt, jnp.where(use_st1[:, None], X_st1, X_st2)
+    )
+    usable = sel & (good_par & okw | use_st1 | use_st2)
+
+    # --- acceptance gates (cheirality, chi2 both views, scale ratio) ------
+    def gate(T, uv, ur, oct_, X):
+        pc = lie.se3_apply(T, X)
+        z = pc[:, 2]
+        iz = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+        u = cam.fx * pc[:, 0] * iz + cam.cx
+        v = cam.fy * pc[:, 1] * iz + cam.cy
+        urp = u - cam.bf * iz
+        s2 = jnp.take(sigma2, oct_)
+        e_mono = ((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2) / s2
+        e_st = e_mono + (urp - ur) ** 2 / s2
+        is_st = ur >= 0
+        chi_ok = jnp.where(is_st, e_st < 7.8, e_mono < 5.991)
+        return (z > 0) & chi_ok, pc
+
+    ok1, pc1 = gate(T1, uv1, ur1, oct1, X)
+    def gate2(T2_i, uv2_i, ur2_i, oct2_i, X_i):
+        pc = T2_i[:3, :3] @ X_i + T2_i[:3, 3]
+        z = pc[2]
+        iz = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+        u = cam.fx * pc[0] * iz + cam.cx
+        v = cam.fy * pc[1] * iz + cam.cy
+        urp = u - cam.bf * iz
+        s2 = jnp.take(sigma2, oct2_i)
+        e_mono = ((u - uv2_i[0]) ** 2 + (v - uv2_i[1]) ** 2) / s2
+        e_st = e_mono + (urp - ur2_i) ** 2 / s2
+        chi_ok = jnp.where(ur2_i >= 0, e_st < 7.8, e_mono < 5.991)
+        return (z > 0) & chi_ok
+
+    ok2 = jax.vmap(gate2)(T2s, uv2, ur2, oct2, X)
+
+    # Scale consistency (reference :491-507): distance ratio vs octave ratio.
+    d1 = jnp.linalg.norm(X - O1w, axis=1)
+    O2s = -jnp.einsum("nij,ni->nj", T2s[:, :3, :3], T2s[:, :3, 3])
+    d2 = jnp.linalg.norm(X - O2s, axis=1)
+    ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+    ratio_oct = jnp.take(sf_tab, oct1) / jnp.take(sf_tab, oct2)
+    ratio_factor = 1.5 * sf
+    scale_ok = (ratio_dist * ratio_factor > ratio_oct) & (
+        ratio_dist < ratio_oct * ratio_factor
+    )
+    want = usable & ok1 & ok2 & scale_ok & (d1 > 1e-6) & (d2 > 1e-6)
+
+    # --- allocate + wire into both keyframes ------------------------------
+    normal = (X - O1w) / jnp.maximum(d1[:, None], 1e-9)
+    max_dist = d1 * jnp.take(sf_tab, oct1)
+    min_dist = max_dist / (sf ** (cfg.orb.n_levels - 1))
+    state, slots, okalloc = ms.add_map_points(
+        state,
+        X,
+        desc1,
+        normal,
+        min_dist,
+        max_dist,
+        jnp.full((N,), kf_id, jnp.int32),
+        want,
+    )
+    wired = want & okalloc
+    # kf_id row: slot i -> new point
+    row1 = jnp.where(wired, slots, state.kf_mp[kf_id])
+    state = state._replace(kf_mp=state.kf_mp.at[kf_id].set(row1))
+    # neighbor rows: scatter (nid, sel_idx2) -> slot. Collisions: keep min
+    # slot id (arbitrary but deterministic).
+    flat_idx = nid * N + sel_idx2
+    kf_mp_flat = state.kf_mp.reshape(-1)
+    cur = jnp.take(kf_mp_flat, flat_idx)
+    can_wire = wired & (cur < 0)
+    kf_mp_flat = kf_mp_flat.at[jnp.where(can_wire, flat_idx, 0)].max(
+        jnp.where(can_wire, slots, -1)
+    )
+    state = state._replace(kf_mp=kf_mp_flat.reshape(KF, N))
+    # observation counts
+    inc1 = jnp.where(ur1 >= 0, 2, 1)
+    inc2 = jnp.where(ur2 >= 0, 2, 1)
+    obs_add = jnp.zeros((MP + 1,), jnp.int32)
+    obs_add = obs_add.at[jnp.where(wired, slots, MP)].add(inc1)
+    obs_add = obs_add.at[jnp.where(can_wire, slots, MP)].add(inc2)
+    state = state._replace(mp_n_obs=state.mp_n_obs + obs_add[:MP])
+    return state, jnp.sum(wired)
+
+
+# ---------------------------------------------------------------------------
+# 3. Fuse with neighbors
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_targets"), donate_argnames=("state",)
+)
+def fuse_neighbors(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 20):
+    """Two-way projection fuse between the new keyframe and its covisibility
+    neighborhood (reference SearchInNeighbors src/LocalMapping.cc:530-610 +
+    ORBmatcher::Fuse src/ORBmatcher.cc:879-1029).
+
+    Direction A: project kf_id's map points into each target keyframe;
+    Direction B: project each target's points into kf_id. A match against a
+    keypoint that already observes a different point triggers
+    MapPoint::Replace semantics (keep the point with more observations);
+    a match against a free keypoint adds the observation.
+    """
+    cam = cfg.camera
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    sf = cfg.orb.scale_factor
+    sf_tab = jnp.asarray([sf ** l for l in range(cfg.orb.n_levels)], jnp.float32)
+    log_sf = float(np.log(sf))
+
+    # First ring (top-10) + implicit second ring approximated by top-20.
+    tgt_ids, tgt_w = ms.best_covisible(state, kf_id, n_targets)
+    tgt_ok = tgt_ids >= 0
+
+    replace_map = jnp.arange(MP, dtype=jnp.int32)  # loser -> winner
+
+    def fuse_into(state_arrays, src_pts_mask, tkf, tkf_ok):
+        """Project masked points into keyframe tkf; return per-point
+        (matched_slot, accept) under the Fuse gates."""
+        (mp_pos, mp_normal, mp_min, mp_max, mp_desc) = state_arrays
+        T = state.kf_Tcw[tkf]
+        from my_orb_slam2_tpu.ops.projection import frustum_check, predict_scale
+
+        okf, uvp, zp, distp, vcos = frustum_check(
+            T, mp_pos, mp_normal, mp_min * 0.8, mp_max * 1.2,
+            cam.fx, cam.fy, cam.cx, cam.cy, 0.0, float(cam.width), 0.0, float(cam.height),
+        )
+        pred_lvl = predict_scale(distp, mp_max * 1.2, log_sf, cfg.orb.n_levels)
+        radius = 3.0 * jnp.take(sf_tab, pred_lvl)
+        urp = uvp[:, 0] - cam.bf / jnp.where(zp > 1e-6, zp, 1e9)
+        idx, ok, dist = matching.search_by_projection(
+            uvp,
+            pred_lvl,
+            src_pts_mask & okf & tkf_ok,
+            mp_desc,
+            radius,
+            state.kf_uv[tkf],
+            state.kf_octave[tkf],
+            state.kf_kp_valid[tkf],
+            state.kf_desc[tkf],
+            kp_ur=state.kf_ur[tkf],
+            pred_ur=urp,
+            level_lo=pred_lvl - 1,
+            level_hi=pred_lvl + 1,
+            max_dist=float(cfg.matcher.th_low),
+            ratio=1.0,
+        )
+        return idx, ok
+
+    arrays = (state.mp_pos, state.mp_normal, state.mp_min_dist, state.mp_max_dist, state.mp_desc)
+
+    # Direction A: kf_id's points into targets. src points = points of kf_id.
+    src_mask = jnp.zeros((MP,), bool).at[
+        jnp.where(state.kf_mp[kf_id] >= 0, state.kf_mp[kf_id], 0)
+    ].set(state.kf_mp[kf_id] >= 0)
+    src_mask = src_mask & state.mp_valid
+
+    def dir_a(carry, t):
+        state_kf_mp, mp_n_obs, replace_map = carry
+        tkf = jnp.maximum(tgt_ids[t], 0)
+        ok_t = tgt_ids[t] >= 0
+        idx, ok = fuse_into(arrays, src_mask, tkf, jnp.full((MP,), ok_t))
+        # existing observation at the matched keypoint
+        existing = jnp.take(state_kf_mp[tkf], idx)  # (MP,)
+        pid = jnp.arange(MP, dtype=jnp.int32)
+        # add observation where keypoint free
+        add = ok & (existing < 0)
+        row = state_kf_mp[tkf]
+        row = row.at[jnp.where(add, idx, 0)].max(jnp.where(add, pid, -1))
+        state_kf_mp = state_kf_mp.at[tkf].set(jnp.where(ok_t, row, state_kf_mp[tkf]))
+        inc = jnp.where(jnp.take(state.kf_ur[tkf], idx) >= 0, 2, 1)
+        mp_n_obs = mp_n_obs + jnp.zeros((MP + 1,), jnp.int32).at[
+            jnp.where(add & ok_t, pid, MP)
+        ].add(inc)[:MP]
+        # replace where keypoint already has a different point
+        conflict = ok & (existing >= 0) & (existing != pid)
+        ex = jnp.where(conflict, existing, 0)
+        keep_existing = jnp.take(mp_n_obs, ex) >= jnp.take(mp_n_obs, pid)
+        loser = jnp.where(keep_existing, pid, ex)
+        winner = jnp.where(keep_existing, ex, pid)
+        upd = conflict & ok_t & (loser != winner)
+        replace_map = replace_map.at[jnp.where(upd, loser, loser * 0)].set(
+            jnp.where(upd, winner, replace_map[0])
+        )
+        return (state_kf_mp, mp_n_obs, replace_map), 0
+
+    (kf_mp_new, mp_n_obs_new, replace_map), _ = jax.lax.scan(
+        dir_a,
+        (state.kf_mp, state.mp_n_obs, replace_map),
+        jnp.arange(n_targets),
+    )
+    state = state._replace(kf_mp=kf_mp_new, mp_n_obs=mp_n_obs_new)
+
+    # Direction B: targets' points into kf_id (single pass with union mask).
+    tgt_mask_rows = jnp.zeros((MP,), bool)
+    for_union = jnp.where(tgt_ok[:, None], jnp.maximum(tgt_ids, 0)[:, None], 0)
+    tgt_rows = jnp.take(state.kf_mp, jnp.maximum(tgt_ids, 0), axis=0)  # (T, N)
+    tvalid = tgt_ok[:, None] & (tgt_rows >= 0)
+    tgt_mask_rows = tgt_mask_rows.at[jnp.where(tvalid, tgt_rows, 0).reshape(-1)].set(
+        tvalid.reshape(-1)
+    )
+    tgt_mask_rows = tgt_mask_rows & state.mp_valid
+    idx, ok = fuse_into(arrays, tgt_mask_rows, kf_id, jnp.full((MP,), True))
+    existing = jnp.take(state.kf_mp[kf_id], idx)
+    pid = jnp.arange(MP, dtype=jnp.int32)
+    add = ok & (existing < 0)
+    row = state.kf_mp[kf_id]
+    row = row.at[jnp.where(add, idx, 0)].max(jnp.where(add, pid, -1))
+    inc = jnp.where(jnp.take(state.kf_ur[kf_id], idx) >= 0, 2, 1)
+    n_obs = state.mp_n_obs + jnp.zeros((MP + 1,), jnp.int32).at[
+        jnp.where(add, pid, MP)
+    ].add(inc)[:MP]
+    conflict = ok & (existing >= 0) & (existing != pid)
+    ex = jnp.where(conflict, existing, 0)
+    keep_existing = jnp.take(n_obs, ex) >= jnp.take(n_obs, pid)
+    loser = jnp.where(keep_existing, pid, ex)
+    winner = jnp.where(keep_existing, ex, pid)
+    upd = conflict & (loser != winner)
+    replace_map = replace_map.at[jnp.where(upd, loser, 0)].set(
+        jnp.where(upd, winner, replace_map[0])
+    )
+    state = state._replace(
+        kf_mp=state.kf_mp.at[kf_id].set(row), mp_n_obs=n_obs
+    )
+
+    # --- apply replacements globally (MapPoint::Replace) ------------------
+    # One level of indirection is enough per fuse round.
+    replaced = replace_map != jnp.arange(MP)
+    kf_mp = state.kf_mp
+    kf_mp = jnp.where(kf_mp >= 0, jnp.take(replace_map, jnp.clip(kf_mp, 0, MP - 1)), kf_mp)
+    state = state._replace(
+        kf_mp=kf_mp,
+        mp_valid=state.mp_valid & ~replaced,
+        mp_found=state.mp_found
+        + jnp.zeros((MP,), jnp.int32).at[jnp.where(replaced, replace_map, 0)].add(
+            jnp.where(replaced, state.mp_found, 0)
+        ),
+        mp_visible=state.mp_visible
+        + jnp.zeros((MP,), jnp.int32).at[jnp.where(replaced, replace_map, 0)].add(
+            jnp.where(replaced, state.mp_visible, 0)
+        ),
+    )
+    state = ms.recount_observations(state)
+    # refresh geometry of touched points + covisibility of touched KFs
+    touched = src_mask | tgt_mask_rows
+    state = ms.update_point_geometry(state, touched, cfg.orb.scale_factor, cfg.orb.n_levels)
+    upd_kfs = jnp.concatenate([jnp.array([kf_id], jnp.int32), tgt_ids])
+    state = ms.refresh_covisibility(state, upd_kfs)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# 4. Local bundle adjustment
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_cams", "max_points", "max_obs"),
+)
+def extract_local_ba(
+    cfg: SlamConfig,
+    state: ms.MapState,
+    kf_id,
+    max_cams: int = 32,
+    max_points: int = 4096,
+    max_obs: int = 16384,
+):
+    """Build a static-shape BAProblem for the covisibility window of kf_id
+    (reference local window: KF + first-ring covis as free cameras, other
+    observers fixed, src/Optimizer.cc:461-510)."""
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    # Free cams: kf_id + covis (weight ordered), up to max_cams-?; fixed
+    # anchors: additional observers, filling the remaining slots.
+    w_row = state.covis[kf_id] * state.kf_valid
+    w_row = w_row.at[kf_id].set(jnp.iinfo(jnp.int32).max)  # center first
+    n_free = max_cams // 2
+    free_w, free_ids = jax.lax.top_k(w_row, n_free)
+    free_ok = free_w > 0
+    free_mask_kf = jnp.zeros((KF,), bool).at[free_ids].set(free_ok)
+
+    # Local points: union of free cams' observations.
+    rows = jnp.take(state.kf_mp, free_ids, axis=0)  # (n_free, N)
+    rows_ok = free_ok[:, None] & (rows >= 0) & jnp.take(state.kf_kp_valid, free_ids, axis=0)
+    pt_mask = jnp.zeros((MP,), bool).at[jnp.where(rows_ok, rows, 0).reshape(-1)].set(
+        rows_ok.reshape(-1)
+    )
+    pt_mask = pt_mask & state.mp_valid
+    pt_ids = jnp.nonzero(pt_mask, size=max_points, fill_value=MP)[0]  # (P,)
+    pt_local = jnp.full((MP + 1,), -1, jnp.int32).at[pt_ids].set(
+        jnp.arange(max_points, dtype=jnp.int32)
+    )
+
+    # Fixed cams: observers of local points that are not free.
+    obs_sel = (state.kf_mp >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+    obs_pt_local = jnp.take(pt_local, jnp.where(obs_sel, state.kf_mp, MP))
+    observes_local = jnp.any(obs_pt_local >= 0, axis=1)  # (KF,)
+    fixed_cand = observes_local & ~free_mask_kf & state.kf_valid
+    n_fixed = max_cams - n_free
+    fixed_score = fixed_cand.astype(jnp.int32) * (1 + state.covis[kf_id])
+    fixed_w, fixed_ids = jax.lax.top_k(fixed_score, n_fixed)
+    fixed_ok = fixed_w > 0
+
+    cam_ids = jnp.concatenate([free_ids, fixed_ids])  # (C,)
+    cam_ok = jnp.concatenate([free_ok, fixed_ok])
+    cam_fixed = jnp.concatenate([jnp.zeros((n_free,), bool), jnp.ones((n_fixed,), bool)])
+    # Keep the gauge: the oldest free cam is fixed too when the window has
+    # few anchors (reference fixes map-origin KF0 when included; we fix the
+    # lowest-id free cam if no fixed cams exist).
+    no_anchor = ~jnp.any(fixed_ok)
+    oldest = jnp.argmin(jnp.where(free_ok, free_ids, jnp.iinfo(jnp.int32).max))
+    cam_fixed = cam_fixed.at[oldest].set(cam_fixed[oldest] | no_anchor)
+
+    cam_local = jnp.full((KF + 1,), -1, jnp.int32).at[
+        jnp.where(cam_ok, cam_ids, KF)
+    ].set(jnp.arange(max_cams, dtype=jnp.int32))
+    cam_local = cam_local.at[KF].set(-1)
+
+    # Observations: all (cam in cam_ids, slot) pairs with local points.
+    cam_rows = jnp.take(state.kf_mp, cam_ids, axis=0)  # (C, N)
+    cam_rows_ok = (
+        cam_ok[:, None]
+        & (cam_rows >= 0)
+        & jnp.take(state.kf_kp_valid, cam_ids, axis=0)
+    )
+    pt_loc = jnp.take(pt_local, jnp.where(cam_rows_ok, cam_rows, MP))  # (C, N)
+    obs_ok = cam_rows_ok & (pt_loc >= 0)
+    flat_ok = obs_ok.reshape(-1)
+    sel = jnp.nonzero(flat_ok, size=max_obs, fill_value=max_cams * N)[0]
+    sel_valid = sel < max_cams * N
+    sel_safe = jnp.where(sel_valid, sel, 0)
+    o_cam = (sel_safe // N).astype(jnp.int32)
+    o_slot = (sel_safe % N).astype(jnp.int32)
+    o_pt = pt_loc.reshape(-1)[sel_safe]
+    kf_of_obs = jnp.take(cam_ids, o_cam)
+    uv = state.kf_uv[kf_of_obs, o_slot]
+    ur = state.kf_ur[kf_of_obs, o_slot]
+    octv = state.kf_octave[kf_of_obs, o_slot]
+    sf = cfg.orb.scale_factor
+    inv_sigma2 = jnp.asarray(
+        [1.0 / sf ** (2 * l) for l in range(cfg.orb.n_levels)], jnp.float32
+    )[octv]
+    prob = ba.BAProblem(
+        cam_Tcw=jnp.take(state.kf_Tcw, cam_ids, axis=0),
+        cam_fixed=cam_fixed | ~cam_ok,
+        pt_pos=jnp.take(state.mp_pos, jnp.clip(pt_ids, 0, MP - 1), axis=0),
+        pt_valid=pt_ids < MP,
+        obs_cam=o_cam,
+        obs_pt=jnp.where(sel_valid, o_pt, 0),
+        obs_uv=uv,
+        obs_ur=ur,
+        obs_inv_sigma2=inv_sigma2,
+        obs_mask=sel_valid,
+    )
+    aux = {
+        "cam_ids": cam_ids,
+        "cam_ok": cam_ok,
+        "pt_ids": pt_ids,
+        "obs_kf": kf_of_obs,
+        "obs_slot": o_slot,
+        "obs_valid": sel_valid,
+    }
+    return prob, aux
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def writeback_local_ba(cfg: SlamConfig, state: ms.MapState, prob: ba.BAProblem, aux, final_mask):
+    """Write optimized poses/points back into the map and erase outlier
+    observations (reference src/Optimizer.cc:717-763)."""
+    MP = state.mp_pos.shape[0]
+    KF = state.kf_Tcw.shape[0]
+    upd_cam = aux["cam_ok"] & ~prob.cam_fixed
+    tgt_kf = jnp.where(upd_cam, aux["cam_ids"], KF)
+    kf_Tcw = state.kf_Tcw.at[tgt_kf].set(prob.cam_Tcw, mode="drop")
+    ok_pt = aux["pt_ids"] < MP
+    tgt_pt = jnp.where(ok_pt, aux["pt_ids"], MP)
+    mp_pos = state.mp_pos.at[tgt_pt].set(prob.pt_pos, mode="drop")
+    # Outlier observations: obs that were valid going in but failed the
+    # final chi2 classification.
+    drop = aux["obs_valid"] & ~final_mask
+    kf_mp = state.kf_mp.at[
+        jnp.where(drop, aux["obs_kf"], KF), jnp.where(drop, aux["obs_slot"], 0)
+    ].set(INVALID, mode="drop")
+    state = state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp)
+    state = ms.recount_observations(state)
+    touched = jnp.zeros((MP,), bool).at[jnp.clip(aux["pt_ids"], 0, MP - 1)].set(ok_pt)
+    state = ms.update_point_geometry(state, touched, cfg.orb.scale_factor, cfg.orb.n_levels)
+    state = ms.refresh_covisibility(
+        state, jnp.where(aux["cam_ok"], aux["cam_ids"], -1)
+    )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# 5. Keyframe culling
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
+    """Cull redundant local keyframes: >= 90% of their tracked points are
+    observed by >= 3 other keyframes at the same or finer octave (reference
+    KeyFrameCulling src/LocalMapping.cc:708-772). KF 0 is never culled."""
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    L = cfg.orb.n_levels
+    # Observation octave histogram per point: cnt[p, l].
+    obs_ok = (state.kf_mp >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+    p_flat = jnp.where(obs_ok, state.kf_mp, MP).reshape(-1)
+    l_flat = state.kf_octave.reshape(-1)
+    cnt = jnp.zeros((MP + 1, L), jnp.int32).at[p_flat, jnp.clip(l_flat, 0, L - 1)].add(
+        obs_ok.reshape(-1).astype(jnp.int32)
+    )[:MP]
+    cnt_cum = jnp.cumsum(cnt, axis=1)  # observers at octave <= l
+
+    # Candidates: covisible neighbors of kf_id (not kf_id itself, not 0).
+    cand_mask = (state.covis[kf_id] > 0) & state.kf_valid
+    cand_mask = cand_mask.at[0].set(False).at[kf_id].set(False)
+
+    def redundancy(k):
+        row = state.kf_mp[k]
+        ok = (row >= 0) & state.kf_kp_valid[k]
+        # stereo/RGB-D only counts close points (reference :728-733)
+        if cfg.camera.bf > 0:
+            ok = ok & (state.kf_depth[k] > 0) & (
+                state.kf_depth[k] < cfg.camera.close_depth
+            )
+        p = jnp.where(ok, row, MP - 1)
+        lvl = jnp.clip(state.kf_octave[k] + 1, 0, L - 1)
+        n_fine = cnt_cum[p, lvl] - 1  # exclude this KF's own observation
+        redundant = ok & (n_fine >= cfg.mapping.kf_cull_min_obs)
+        n_ok = jnp.sum(ok)
+        return jnp.where(
+            n_ok > 0,
+            jnp.sum(redundant) >= cfg.mapping.kf_cull_redundancy * n_ok,
+            False,
+        )
+
+    red = jax.vmap(redundancy)(jnp.arange(KF)) & cand_mask
+    # Detach: keyframe invalid, observations released, children re-homed to
+    # the culled KF's parent (simplified re-homing vs the reference's greedy
+    # candidate loop, src/KeyFrame.cc:467-559).
+    kf_valid = state.kf_valid & ~red
+    kf_mp = jnp.where(red[:, None], INVALID, state.kf_mp)
+    parent_of = state.kf_parent
+    culled_parent = jnp.where(red, parent_of, jnp.arange(KF))
+    new_parent = jnp.where(
+        (parent_of >= 0) & jnp.take(red, jnp.maximum(parent_of, 0)),
+        jnp.take(parent_of, jnp.maximum(parent_of, 0)),
+        parent_of,
+    )
+    covis = jnp.where(red[:, None] | red[None, :], 0, state.covis)
+    state = state._replace(
+        kf_valid=kf_valid, kf_mp=kf_mp, kf_parent=new_parent, covis=covis
+    )
+    state = ms.recount_observations(state)
+    return state, jnp.sum(red)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+class LocalMapper:
+    """Chains the local-mapping passes after each keyframe insertion
+    (the synchronous analog of the reference LocalMapping::Run loop)."""
+
+    def __init__(self, cfg: SlamConfig, run_ba: bool = True, cull_keyframes: bool = True):
+        self.cfg = cfg
+        self.run_ba = run_ba
+        self.cull = cull_keyframes
+        self.stats = {"points_created": 0, "kfs_culled": 0, "ba_runs": 0}
+
+    def process(self, state: ms.MapState, kf_id: int) -> ms.MapState:
+        cfg = self.cfg
+        kf = jnp.int32(kf_id)
+        state = map_point_culling(cfg, state, kf)
+        n_neigh = (
+            cfg.mapping.triangulation_neighbors_mono
+            if cfg.sensor.name == "MONOCULAR"
+            else cfg.mapping.triangulation_neighbors_stereo
+        )
+        state, n_new = create_new_map_points(cfg, state, kf, n_neighbors=n_neigh)
+        self.stats["points_created"] += int(n_new)
+        state = fuse_neighbors(cfg, state, kf)
+        if self.run_ba and kf_id >= 2:
+            cam = cfg.camera
+            prob, aux = extract_local_ba(cfg, state, kf)
+            prob, final_mask = ba.local_ba(
+                prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                iters1=cfg.mapping.local_ba_iters1,
+                iters2=cfg.mapping.local_ba_iters2,
+            )
+            state = writeback_local_ba(cfg, state, prob, aux, final_mask)
+            self.stats["ba_runs"] += 1
+        if self.cull:
+            state, n_culled = keyframe_culling(cfg, state, kf)
+            self.stats["kfs_culled"] += int(n_culled)
+        return state

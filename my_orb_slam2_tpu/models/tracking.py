@@ -177,6 +177,7 @@ def track_local_map(
     frame: FrameData,
     Tcw,
     cur_mp,
+    ref_min_obs=jnp.int32(3),
 ):
     """Local-map tracking (reference TrackLocalMap src/Tracking.cc:991-1035):
     build the local keyframe set from covisibility, project their points,
@@ -295,11 +296,15 @@ def track_local_map(
     # --- keyframe-policy statistics ---------------------------------------
     # nRefMatches: reference KF tracked points with >=3 observations
     # (reference src/Tracking.cc:1073 TrackedMapPoints(minObs)).
+    # min_obs drops to 2 while the map has <= 2 keyframes (reference
+    # src/Tracking.cc:1069-1071), passed in by the host.
     ref_mp = state.kf_mp[ref_kf]
     ref_ok = (ref_mp >= 0) & state.kf_kp_valid[ref_kf]
     ref_lm = jnp.where(ref_ok, ref_mp, 0)
     ref_matches = jnp.sum(
-        ref_ok & (jnp.take(state.mp_n_obs, ref_lm) >= 3) & jnp.take(state.mp_valid, ref_lm)
+        ref_ok
+        & (jnp.take(state.mp_n_obs, ref_lm) >= ref_min_obs)
+        & jnp.take(state.mp_valid, ref_lm)
     )
     # Close-point starvation stats (reference src/Tracking.cc:1076-1092).
     close = (frame.depth > 0) & (frame.depth < cam.close_depth) & frame.valid
@@ -515,8 +520,9 @@ class Tracker:
             return info
 
         # --- local map tracking -------------------------------------------
+        min_obs = 2 if self.n_kf <= 2 else 3
         self.map, res2, stats = track_local_map(
-            self.cfg, self.map, frame, res.Tcw, res.cur_mp
+            self.cfg, self.map, frame, res.Tcw, res.cur_mp, jnp.int32(min_obs)
         )
         stats = np.asarray(stats)
         n_inliers = int(stats[0])

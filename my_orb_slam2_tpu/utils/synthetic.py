@@ -72,6 +72,7 @@ class SyntheticWorld:
         desc_noise_bits: int = 4,
         dropout: float = 0.05,
         stereo: bool = True,
+        stereo_fraction: float = 1.0,
         seed: int | None = None,
     ) -> tuple[FrameData, np.ndarray]:
         """Render a FrameData of up to `capacity` visible landmarks.
@@ -105,8 +106,15 @@ class SyntheticWorld:
         uv[:k, 0] = u[ids] + rng.normal(0, noise_px, k)
         uv[:k, 1] = v[ids] + rng.normal(0, noise_px, k)
         if stereo:
-            ur[:k] = uv[:k, 0] - cam.bf / z[ids] + rng.normal(0, noise_px, k)
-            depth[:k] = cam.bf / np.maximum(uv[:k, 0] - ur[:k], 1e-6)
+            has_st = rng.random(k) < stereo_fraction
+            ur[:k] = np.where(
+                has_st,
+                uv[:k, 0] - cam.bf / z[ids] + rng.normal(0, noise_px, k),
+                -1.0,
+            )
+            depth[:k] = np.where(
+                has_st, cam.bf / np.maximum(uv[:k, 0] - ur[:k], 1e-6), -1.0
+            )
         octave[:k] = np.clip(
             self.base_octave[ids] + (z[ids] < 6).astype(np.int32), 0, self.cfg.orb.n_levels - 1
         )

@@ -1,0 +1,132 @@
+"""Local mapping tests: triangulation, culling, fuse, local BA integration."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from my_orb_slam2_tpu.utils.config import SlamConfig, CameraConfig, CapacityConfig, MappingConfig, Sensor
+from my_orb_slam2_tpu.utils.synthetic import SyntheticWorld, ate_rmse
+from my_orb_slam2_tpu.models.tracking import Tracker, TrackingState
+from my_orb_slam2_tpu.models.local_mapping import (
+    LocalMapper,
+    create_new_map_points,
+    keyframe_culling,
+    map_point_culling,
+)
+
+CAPACITY = 512
+
+
+def small_cfg():
+    from my_orb_slam2_tpu.utils.config import TrackingConfig
+
+    return SlamConfig(
+        sensor=Sensor.STEREO,
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0, th_depth=40.0),
+        capacity=CapacityConfig(max_keyframes=64, max_map_points=8192),
+        # Synthetic frames have capacity 512, so a mixed mono/stereo frame
+        # cannot reach the reference's 500-depth-point init gate; scale it.
+        tracking=TrackingConfig(min_stereo_init_points=150),
+    )
+
+
+def run_sequence(cfg, n_frames, mapper, stereo_fraction=0.6, forward=0.15, yaw=0.006,
+                 n_landmarks=5000, seed=5):
+    world = SyntheticWorld(cfg, n_landmarks=n_landmarks, seed=seed)
+    poses = world.circular_trajectory(n_frames, forward_per_frame=forward, yaw_per_frame=yaw)
+    tracker = Tracker(cfg, CAPACITY, local_mapper=mapper)
+    est = []
+    for i, Tcw in enumerate(poses):
+        frame, _ = world.observe(
+            Tcw, CAPACITY, seed=700 + i, stereo_fraction=stereo_fraction
+        )
+        info = tracker.track(frame, i / 30.0)
+        assert info["state"] == TrackingState.OK, f"lost at {i}: {info}"
+        est.append(info["Tcw"])
+    return tracker, np.stack(est), poses
+
+
+def test_triangulation_creates_points():
+    """With only 40% stereo keypoints, new mono points must come from
+    triangulation between keyframes."""
+    cfg = small_cfg()
+    mapper = LocalMapper(cfg, run_ba=False, cull_keyframes=False)
+    tracker, est, poses = run_sequence(cfg, 16, mapper, stereo_fraction=0.4)
+    assert mapper.stats["points_created"] > 50, mapper.stats
+    # Triangulated points should be geometrically sane: reproject into their
+    # observing keyframes with small error (checked implicitly by tracking
+    # staying OK and ATE small).
+    ate = ate_rmse(est, poses)
+    assert ate < 0.12, ate
+
+
+def test_local_ba_improves_map():
+    cfg = small_cfg()
+    mapper_noba = LocalMapper(cfg, run_ba=False, cull_keyframes=False)
+    t1, est1, poses = run_sequence(cfg, 20, mapper_noba, stereo_fraction=0.5)
+    mapper_ba = LocalMapper(cfg, run_ba=True, cull_keyframes=False)
+    t2, est2, _ = run_sequence(cfg, 20, mapper_ba, stereo_fraction=0.5)
+    a1 = ate_rmse(est1, poses)
+    a2 = ate_rmse(est2, poses)
+    # BA should not make things worse (and typically improves).
+    assert a2 <= a1 * 1.2 + 0.01, (a1, a2)
+    assert mapper_ba.stats["ba_runs"] >= 1
+
+
+def test_map_point_culling_removes_bad_points():
+    cfg = small_cfg()
+    mapper = LocalMapper(cfg, run_ba=False, cull_keyframes=False)
+    tracker, est, poses = run_sequence(cfg, 12, mapper, stereo_fraction=0.5)
+    m = tracker.map
+    # Simulate a batch of never-found points created 2 keyframes ago.
+    import my_orb_slam2_tpu.models.map_state as ms
+
+    kf_now = int(m.n_kf) - 1
+    mp_visible = np.array(m.mp_visible)
+    mp_found = np.array(m.mp_found)
+    mp_first = np.array(m.mp_first_kf)
+    valid = np.array(m.mp_valid)
+    ids = np.nonzero(valid)[0][:50]
+    mp_visible[ids] = 20
+    mp_found[ids] = 1  # ratio 0.05 < 0.25
+    mp_first[ids] = kf_now
+    m2 = m._replace(
+        mp_visible=jnp.asarray(mp_visible),
+        mp_found=jnp.asarray(mp_found),
+        mp_first_kf=jnp.asarray(mp_first),
+    )
+    m3 = map_point_culling(cfg, m2, jnp.int32(kf_now))
+    still = np.array(m3.mp_valid)[ids]
+    assert not still.any(), f"{still.sum()} bad points survived"
+
+
+def test_keyframe_culling_on_redundant_kfs():
+    """Insert keyframes from nearly identical poses; culling should remove
+    redundant ones."""
+    cfg = small_cfg()
+    mapper = LocalMapper(cfg, run_ba=False, cull_keyframes=True)
+    # Tiny motion -> keyframes see identical points at identical scales.
+    tracker, est, poses = run_sequence(
+        cfg, 25, mapper, stereo_fraction=1.0, forward=0.25, yaw=0.0
+    )
+    m = tracker.map
+    n_kf_alive = int(jnp.sum(m.kf_valid))
+    n_kf_total = int(m.n_kf)
+    # At least the pipeline ran and map is consistent: every valid obs points
+    # to a valid map point.
+    kf_mp = np.array(m.kf_mp)
+    alive = np.array(m.kf_valid)
+    mp_valid = np.array(m.mp_valid)
+    for k in np.nonzero(alive)[0]:
+        obs = kf_mp[k][kf_mp[k] >= 0]
+        assert mp_valid[obs].all(), f"kf {k} has observations of dead points"
+    assert n_kf_alive >= 1
+
+
+def test_full_pipeline_long_sequence():
+    """30 frames with everything enabled: BA + culling + fuse."""
+    cfg = small_cfg()
+    mapper = LocalMapper(cfg, run_ba=True, cull_keyframes=True)
+    tracker, est, poses = run_sequence(cfg, 30, mapper, stereo_fraction=0.6)
+    ate = ate_rmse(est, poses)
+    assert ate < 0.10, ate
