@@ -1,0 +1,130 @@
+"""Benchmark: steady-state tracking throughput on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The headline metric mirrors the reference's own self-timing (per-frame
+tracking time, reference Examples/Monocular/mono_tum.cc:97-120; real-time
+claim ~30 fps on an i7, BASELINE.md): median end-to-end tracking
+frames/second, including the ORB front-end (pyramid + FAST + BRIEF + stereo
+matching) and the pose pipeline (motion-model search + IRLS-LM pose
+optimization + local-map tracking) on a synthetic stereo sequence.
+vs_baseline is fps / 30.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def render_stereo_pair(world_pts, intensities, Tcw, cam, H, W, rng):
+    """Render left/right images of a blob world (host-side, numpy)."""
+    imgs = []
+    for dx in (0.0, cam.baseline):
+        T = Tcw.copy()
+        # right camera: shift origin along +x in camera frame
+        T = np.array(T)
+        T[0, 3] -= dx * 0  # translation applied below in camera frame
+        pc = world_pts @ Tcw[:3, :3].T + Tcw[:3, 3]
+        pc[:, 0] -= dx
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = cam.fx * pc[:, 0] / z + cam.cx
+            v = cam.fy * pc[:, 1] / z + cam.cy
+        img = 28.0 + 18.0 * rng.standard_normal((H, W)).astype(np.float32) * 0  # flat base
+        yy, xx = np.mgrid[0:H, 0:W]
+        img = img + 16.0 * np.sin(xx * 0.11) * np.cos(yy * 0.07)
+        ok = (z > 0.5) & (u > 12) & (u < W - 12) & (v > 12) & (v < H - 12)
+        for i in np.nonzero(ok)[0]:
+            ui, vi = int(u[i]), int(v[i])
+            s = 2 + i % 4
+            img[vi - s : vi + s + 1, ui - s : ui + s + 1] = intensities[i]
+        imgs.append(img.astype(np.float32))
+    return imgs[0], imgs[1]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from my_orb_slam2_tpu.utils.config import (
+        CameraConfig,
+        CapacityConfig,
+        OrbConfig,
+        SlamConfig,
+        Sensor,
+        TrackingConfig,
+    )
+    from my_orb_slam2_tpu.models.frame import FrameFactory
+    from my_orb_slam2_tpu.models.tracking import Tracker, TrackingState
+    from my_orb_slam2_tpu.ops import lie
+
+    H, W = 480, 640
+    cfg = SlamConfig(
+        sensor=Sensor.STEREO,
+        camera=CameraConfig(
+            fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0, th_depth=40.0,
+            width=W, height=H,
+        ),
+        orb=OrbConfig(n_features=1000),
+        capacity=CapacityConfig(max_keyframes=64, max_map_points=16384),
+        tracking=TrackingConfig(min_stereo_init_points=200),
+    )
+    cam = cfg.camera
+    rng = np.random.default_rng(0)
+    n_pts = 900
+    world_pts = np.stack(
+        [rng.uniform(-6, 6, n_pts), rng.uniform(-4, 4, n_pts), rng.uniform(3, 25, n_pts)], 1
+    )
+    intensities = rng.uniform(70, 240, n_pts)
+
+    n_frames = 24
+    poses = []
+    Twc = np.eye(4)
+    for i in range(n_frames):
+        step = np.asarray(
+            lie.se3_exp(jnp.asarray(np.array([0.0, 0.0, 0.03, 0.0, 0.002, 0.0])))
+        )
+        Twc = Twc @ step
+        poses.append(np.linalg.inv(Twc).astype(np.float32))
+
+    pairs = [
+        render_stereo_pair(world_pts, intensities, T, cam, H, W, rng) for T in poses
+    ]
+
+    factory = FrameFactory(cfg)
+    tracker = Tracker(cfg, factory.capacity)
+
+    # Warmup: initialize + first tracked frames (compiles everything).
+    times = []
+    ok_frames = 0
+    for i, (imL, imR) in enumerate(pairs):
+        t0 = time.perf_counter()
+        frame = factory.build_stereo(imL, imR)
+        jax.block_until_ready(frame.uv)
+        info = tracker.track(frame, i / 30.0)
+        t1 = time.perf_counter()
+        if i >= 4:  # skip compile-heavy warmup frames
+            times.append(t1 - t0)
+        if info["state"] == TrackingState.OK:
+            ok_frames += 1
+
+    med = float(np.median(times)) if times else float("inf")
+    fps = 1.0 / med if med > 0 else 0.0
+    result = {
+        "metric": "tracking_fps_single_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# median_frame_ms={med*1000:.1f} ok_frames={ok_frames}/{n_frames} "
+        f"kfs={tracker.kf_counter}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
