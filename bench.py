@@ -90,20 +90,30 @@ def main():
         poses.append(np.linalg.inv(Twc).astype(np.float32))
 
     pairs = [
-        render_stereo_pair(world_pts, intensities, T, cam, H, W, rng) for T in poses
+        tuple(
+            np.clip(im, 0, 255).astype(np.uint8)
+            for im in render_stereo_pair(world_pts, intensities, T, cam, H, W, rng)
+        )
+        for T in poses
     ]
 
     factory = FrameFactory(cfg)
     tracker = Tracker(cfg, factory.capacity)
 
-    # Warmup: initialize + first tracked frames (compiles everything).
+    # Pipelined loop: dispatch the next frame's front-end before consuming
+    # the current frame's tracking result — the async-dispatch analog of
+    # the reference's thread decoupling. Warmup frames excluded from timing.
     times = []
     ok_frames = 0
-    for i, (imL, imR) in enumerate(pairs):
+    next_frame = factory.build_stereo(*pairs[0])
+    for i in range(n_frames):
         t0 = time.perf_counter()
-        frame = factory.build_stereo(imL, imR)
-        jax.block_until_ready(frame.uv)
+        frame = next_frame
+        # Enqueue tracking first (the device executes in dispatch order),
+        # then the next frame's front-end fills the pipeline behind it.
         info = tracker.track(frame, i / 30.0)
+        if i + 1 < n_frames:
+            next_frame = factory.build_stereo(*pairs[i + 1])
         t1 = time.perf_counter()
         if i >= 4:  # skip compile-heavy warmup frames
             times.append(t1 - t0)

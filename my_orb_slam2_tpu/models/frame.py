@@ -62,15 +62,12 @@ class FrameFactory:
 
     def _build_stereo_impl(self, imgL, imgR):
         cam = self.cfg.camera
-        kpsL, pyrL = self.extractor._extract_impl(imgL)
-        kpsR, pyrR = self.extractor._extract_impl(imgR)
-        # level coords of keypoints (uv are level-0; per-level coords needed
-        # for SAD windows)
-        sf = self.extractor.scale_factors
-        uvL_level = kpsL.uv / sf[kpsL.octave][:, None]
-        uvR_level = kpsR.uv / sf[kpsR.octave][:, None]
+        ex = self.extractor
+        kpsL, atlasL, _ = ex._extract_impl(imgL)
+        kpsR, atlasR, _ = ex._extract_impl(imgR)
         u_right, depth = stereo_ops.match_stereo(
             kpsL.uv,
+            kpsL.uv_level,
             kpsL.octave,
             kpsL.valid,
             kpsR.uv,
@@ -78,11 +75,12 @@ class FrameFactory:
             kpsR.valid,
             kpsL.desc,
             kpsR.desc,
-            pyrL,
-            pyrR,
-            uvL_level,
-            uvR_level,
-            sf,
+            atlasL,
+            atlasR,
+            ex.level_offsets,
+            ex.level_w,
+            ex.level_h,
+            ex.scale_factors,
             min_d=0.0,
             max_d=cam.fx,
             bf=cam.bf,
@@ -100,7 +98,7 @@ class FrameFactory:
 
     def _build_rgbd_impl(self, img, depth_map):
         cam = self.cfg.camera
-        kps, _ = self.extractor._extract_impl(img)
+        kps, _, _ = self.extractor._extract_impl(img)
         u_right, depth = stereo_ops.depth_to_uright(
             kps.uv, kps.valid, depth_map, cam.depth_map_factor, cam.bf
         )
@@ -111,7 +109,7 @@ class FrameFactory:
         )
 
     def _build_mono_impl(self, img):
-        kps, _ = self.extractor._extract_impl(img)
+        kps, _, _ = self.extractor._extract_impl(img)
         n = kps.uv.shape[0]
         uv = self._undistort(kps.uv)
         return FrameData(
@@ -125,10 +123,12 @@ class FrameFactory:
         )
 
     def build_stereo(self, imgL, imgR) -> FrameData:
-        return self._stereo(jnp.asarray(imgL, jnp.float32), jnp.asarray(imgR, jnp.float32))
+        # Keep the host->device transfer narrow: uint8 images upload 4x less
+        # than float32 (the extractor casts on device).
+        return self._stereo(jnp.asarray(imgL), jnp.asarray(imgR))
 
     def build_rgbd(self, img, depth) -> FrameData:
-        return self._rgbd(jnp.asarray(img, jnp.float32), jnp.asarray(depth, jnp.float32))
+        return self._rgbd(jnp.asarray(img), jnp.asarray(depth, jnp.float32))
 
     def build_mono(self, img) -> FrameData:
-        return self._mono(jnp.asarray(img, jnp.float32))
+        return self._mono(jnp.asarray(img))

@@ -177,7 +177,7 @@ def track_local_map(
     frame: FrameData,
     Tcw,
     cur_mp,
-    ref_min_obs=jnp.int32(3),
+    ref_min_obs=3,
 ):
     """Local-map tracking (reference TrackLocalMap src/Tracking.cc:991-1035):
     build the local keyframe set from covisibility, project their points,
@@ -412,6 +412,56 @@ def _spawn_points_from_frame(cfg, state, frame, Tcw, kf_id, want):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_frame(
+    cfg: SlamConfig,
+    state: ms.MapState,
+    frame: FrameData,
+    last_uv,
+    last_mp,
+    last_valid,
+    Tcw_last,
+    velocity,
+    has_velocity,
+    ref_kf,
+    ref_min_obs,
+):
+    """One fused per-frame tracking step: motion-model tracking with
+    reference-keyframe fallback, then local-map tracking — a single device
+    dispatch returning (state, Tcw, cur_mp, stats).
+
+    stats layout: [lm_inliers, ref_matches, tracked_close, nontracked_close,
+    ref_kf, n_local_kfs, stage1_inliers, used_motion(0/1)].
+
+    This is the latency-critical path: the host fetches `stats` once per
+    frame; everything else stays on device (the reference achieves the same
+    by running Tracking inside the caller's thread with no copies,
+    src/System.h:158-159 — our equivalent is one dispatch + one readback).
+    """
+    Tcw_pred = jnp.where(has_velocity, velocity @ Tcw_last, Tcw_last)
+    res_m = track_motion(cfg, state, frame, last_uv, last_mp, last_valid, Tcw_pred)
+    motion_ok = has_velocity & (res_m.n_inliers >= 10)
+    # Reference-KF fallback only runs when the motion model failed
+    # (reference src/Tracking.cc:339-345); lax.cond skips the unused branch.
+    res_f = jax.lax.cond(
+        motion_ok,
+        lambda: res_m,
+        lambda: track_ref_kf(cfg, state, frame, ref_kf, Tcw_last),
+    )
+    Tcw1, cur_mp1, stage1_inl = res_f.Tcw, res_f.cur_mp, res_f.n_inliers
+
+    state, res_l, stats6 = track_local_map(
+        cfg, state, frame, Tcw1, cur_mp1, ref_min_obs
+    )
+    stats = jnp.concatenate(
+        [stats6, jnp.stack([stage1_inl, motion_ok.astype(jnp.int32)])]
+    )
+    # Pack pose + stats into one f32 vector: a single device->host fetch
+    # per frame (each fetch is a full tunnel round-trip).
+    packed = jnp.concatenate([res_l.Tcw.reshape(16), stats.astype(jnp.float32)])
+    return state, res_l.cur_mp, packed
+
+
 class TrackingState:
     NOT_INITIALIZED = 0
     OK = 1
@@ -486,74 +536,57 @@ class Tracker:
             info["state"] = self.state
             return info
 
-        # --- pose prediction + motion-model tracking ----------------------
-        ok = False
-        if self.state == TrackingState.OK:
-            if self.velocity is not None:
-                Tcw_pred = jnp.asarray(self.velocity @ self.Tcw)
-                res = track_motion(
-                    self.cfg, self.map, frame,
-                    self.last_frame.uv, self.last_mp,
-                    self.last_frame.valid, Tcw_pred,
-                )
-                n_inl = int(res.n_inliers)
-                ok = n_inl >= 10
-                info["motion_inliers"] = n_inl
-            if not ok:
-                res = track_ref_kf(
-                    self.cfg, self.map, frame, jnp.int32(self.ref_kf), jnp.asarray(self.Tcw)
-                )
-                n_inl = int(res.n_inliers)
-                ok = n_inl >= 10
-                info["refkf_inliers"] = n_inl
-        else:
-            # LOST: relocalization (wired in by the System once the
-            # keyframe database exists; standalone Tracker just fails).
-            res = None
-
-        if not ok or res is None:
-            self.state = TrackingState.LOST
-            info["state"] = self.state
+        # --- fused device step: motion -> fallback -> local map -----------
+        if self.state != TrackingState.OK:
+            # LOST: relocalization (wired in by the System once the keyframe
+            # database exists; standalone Tracker just fails).
             self._log_pose(timestamp)
             self.frame_id += 1
             info["Tcw"] = self.Tcw.copy()
             return info
 
-        # --- local map tracking -------------------------------------------
         min_obs = 2 if self.n_kf <= 2 else 3
-        self.map, res2, stats = track_local_map(
-            self.cfg, self.map, frame, res.Tcw, res.cur_mp, jnp.int32(min_obs)
+        has_vel = self.velocity is not None
+        vel = self.velocity if has_vel else np.eye(4, dtype=np.float32)
+        self.map, cur_mp, packed_dev = track_frame(
+            self.cfg, self.map, frame,
+            self.last_frame.uv, self.last_mp, self.last_frame.valid,
+            self.Tcw, vel.astype(np.float32), has_vel,
+            np.int32(self.ref_kf), np.int32(min_obs),
         )
-        stats = np.asarray(stats)
+        packed = np.asarray(packed_dev)  # single per-frame readback
+        Tcw_dev = packed[:16].reshape(4, 4)
+        stats = packed[16:]
         n_inliers = int(stats[0])
+        stage1_inl = int(stats[6])
+        info["motion_inliers" if stats[7] else "refkf_inliers"] = stage1_inl
+        info["localmap_inliers"] = n_inliers
         recently_reloc = self.frame_id - self.last_reloc_frame_id < int(self.cfg.camera.fps)
         min_inl = (
             self.cfg.tracking.min_localmap_inliers_after_reloc
             if recently_reloc
             else self.cfg.tracking.min_localmap_inliers
         )
-        if n_inliers < min_inl:
+        if stage1_inl < 10 or n_inliers < min_inl:
             self.state = TrackingState.LOST
             info["state"] = self.state
-            info["localmap_inliers"] = n_inliers
             self._log_pose(timestamp)
             self.frame_id += 1
             info["Tcw"] = self.Tcw.copy()
             return info
 
-        Tcw_new = np.asarray(res2.Tcw)
+        Tcw_new = Tcw_dev.astype(np.float32)
         # Velocity model update (reference src/Tracking.cc:462-469).
         self.velocity = Tcw_new @ np.linalg.inv(self.Tcw)
         self.Tcw = Tcw_new
         self.ref_kf = int(stats[4])
-        info["localmap_inliers"] = n_inliers
 
         # --- keyframe decision --------------------------------------------
         need_kf = self._need_new_keyframe(stats)
         if need_kf:
             self.map, kf_id = insert_keyframe_with_points(
-                self.cfg, self.map, frame, jnp.asarray(self.Tcw), res2.cur_mp,
-                jnp.int32(self.frame_id), jnp.float32(timestamp),
+                self.cfg, self.map, frame, Tcw_new, cur_mp,
+                np.int32(self.frame_id), np.float32(timestamp),
             )
             self.n_kf = int(self.map.n_kf)
             self.last_kf_frame_id = self.frame_id
@@ -563,8 +596,6 @@ class Tracker:
             cur_mp = self.map.kf_mp[kf_id]
             if self.local_mapper is not None:
                 self.map = self.local_mapper.process(self.map, int(kf_id))
-        else:
-            cur_mp = res2.cur_mp
 
         self.last_frame = frame
         self.last_mp = cur_mp

@@ -2,16 +2,15 @@
 
 Replaces Frame::ComputeStereoMatches (reference src/Frame.cc:496-686) and
 Frame::ComputeStereoFromRGBD (src/Frame.cc:689-710) with dense masked array
-ops: instead of per-row candidate lists, a full left-x-right Hamming matrix
-is masked by the row band / disparity range / octave constraints, reduced by
-argmin, then refined to sub-pixel by a batched +-5 slide of 11x11 SAD windows
-on the matching pyramid level with parabola interpolation — the same
-algorithm, expressed as fixed-shape batch ops.
+ops: a full left-x-right Hamming matrix masked by the row band / disparity
+range / octave constraints, argmin-reduced, then refined to sub-pixel by a
+batched +-5 slide of 11x11 SAD windows gathered **from the pyramid atlas at
+each keypoint's own level** with parabola interpolation — the same
+algorithm as the reference's per-row candidate loop, expressed as
+fixed-shape batch ops with a single gather per window.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +23,7 @@ SLIDE = 5  # +-5 sub-pixel search
 
 def match_stereo(
     kpL_uv,
+    kpL_uv_level,
     kpL_octave,
     kpL_valid,
     kpR_uv,
@@ -31,10 +31,11 @@ def match_stereo(
     kpR_valid,
     descL,
     descR,
-    levelL_img,
-    levelR_img,
-    kpL_uv_level,
-    kpR_uv_level,
+    atlasL,
+    atlasR,
+    level_offsets,
+    level_w,
+    level_h,
     scale_factors,
     min_d,
     max_d,
@@ -45,12 +46,9 @@ def match_stereo(
 
     Args:
       kpL_uv/kpR_uv: (N,2)/(M,2) level-0 keypoint coords.
-      kp*_octave, kp*_valid: octave / validity.
-      descL/descR: packed descriptors.
-      levelL_img/levelR_img: stacked padded pyramid images, one entry per
-        level: lists of (Hl, Wl) arrays for SAD refinement.
-      kp*_uv_level: keypoint coords in their own level's pixels.
-      scale_factors: (L,) level -> scale.
+      kpL_uv_level: (N,2) left keypoints in their own level's pixels.
+      atlasL/atlasR: packed pyramid atlases of both images.
+      level_offsets/level_w/level_h: (L,) atlas row offset + level dims.
       min_d/max_d: disparity search range (reference: [0, fx], i.e. depth
         >= baseline, src/Frame.cc:534-536).
       th_desc: Hamming acceptance = (TH_HIGH + TH_LOW) / 2 (src/Frame.cc:547).
@@ -61,102 +59,71 @@ def match_stereo(
     dist = hamming_distance(descL, descR).astype(jnp.float32)  # (N, M)
 
     # Row band: |vR - vL| <= 2 * scale of the left keypoint's octave
-    # (reference src/Frame.cc:518-531 assigns candidates within +-2*r rows).
-    rL = 2.0 * scale_factors[kpL_octave]  # (N,)
+    # (reference src/Frame.cc:518-531).
+    rL = 2.0 * scale_factors[kpL_octave]
     dv = jnp.abs(kpR_uv[None, :, 1] - kpL_uv[:, None, 1])
     band = dv <= rL[:, None]
-    # Octave proximity: candidate level within [lev-1, lev+1] (src/Frame.cc:556).
     d_oct = jnp.abs(kpR_octave[None, :] - kpL_octave[:, None])
     oct_ok = d_oct <= 1
-    # Disparity range.
     disp = kpL_uv[:, None, 0] - kpR_uv[None, :, 0]
     disp_ok = (disp >= min_d) & (disp <= max_d)
     valid = kpL_valid[:, None] & kpR_valid[None, :]
     mask = band & oct_ok & disp_ok & valid
     dist = jnp.where(mask, dist, 1e9)
-    best_r = jnp.argmin(dist, axis=1)  # (N,)
+    best_r = jnp.argmin(dist, axis=1)
     best_d = jnp.take_along_axis(dist, best_r[:, None], axis=1)[:, 0]
     matched = best_d < th_desc
 
-    # --- SAD sub-pixel refinement on the left keypoint's pyramid level ----
-    # Gather 11x11 windows around the left kp and 11 slides around the
-    # scaled right coordinate, per keypoint (src/Frame.cc:600-647).
+    # --- SAD sub-pixel refinement on the atlas ----------------------------
     u_r0 = kpR_uv[best_r, 0]  # level-0 right u of best candidate
+    inv_s = 1.0 / scale_factors[kpL_octave]
+    off = jnp.take(level_offsets, kpL_octave)
+    wl = jnp.take(level_w, kpL_octave)
+    hl = jnp.take(level_h, kpL_octave)
+    mrg = SAD_W + SLIDE + 1
+    uL = jnp.clip(jnp.round(kpL_uv_level[:, 0]).astype(jnp.int32), mrg, wl - mrg - 1)
+    vL = jnp.clip(jnp.round(kpL_uv_level[:, 1]).astype(jnp.int32), mrg, hl - mrg - 1)
+    u0 = jnp.clip(jnp.round(u_r0 * inv_s).astype(jnp.int32), mrg, wl - mrg - 1)
 
-    def refine_for_level(l, imgL, imgR):
-        inv_s = 1.0 / scale_factors[l]
-        uL = jnp.round(kpL_uv_level[:, 0]).astype(jnp.int32)
-        vL = jnp.round(kpL_uv_level[:, 1]).astype(jnp.int32)
-        u0 = jnp.round(u_r0 * inv_s).astype(jnp.int32)
-        h, w = imgL.shape
-        # Clamp so all gathers are in-bounds (windows +-(W+SLIDE)).
-        mrg = SAD_W + SLIDE + 1
-        uL = jnp.clip(uL, mrg, w - mrg - 1)
-        vL = jnp.clip(vL, mrg, h - mrg - 1)
-        u0c = jnp.clip(u0, mrg, w - mrg - 1)
-        dy = jnp.arange(-SAD_W, SAD_W + 1)
-        dx = jnp.arange(-SAD_W, SAD_W + 1)
-        yy = vL[:, None, None] + dy[None, :, None]
-        xxL = uL[:, None, None] + dx[None, None, :]
-        winL = imgL[yy, xxL]  # (N, 11, 11)
-        winL = winL - winL[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
-        sads = []
-        for s in range(-SLIDE, SLIDE + 1):
-            xxR = u0c[:, None, None] + s + dx[None, None, :]
-            winR = imgR[yy, xxR]
-            winR = winR - winR[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
-            sads.append(jnp.sum(jnp.abs(winL - winR), axis=(1, 2)))
-        sad = jnp.stack(sads, axis=1)  # (N, 11)
-        best = jnp.argmin(sad, axis=1)
-        bi = jnp.clip(best, 1, 2 * SLIDE - 1)
-        s_m = jnp.take_along_axis(sad, (bi - 1)[:, None], 1)[:, 0]
-        s_0 = jnp.take_along_axis(sad, bi[:, None], 1)[:, 0]
-        s_p = jnp.take_along_axis(sad, (bi + 1)[:, None], 1)[:, 0]
-        denom = jnp.maximum(2.0 * (s_m + s_p - 2.0 * s_0), 1e-6)
-        delta = (s_m - s_p) / denom
-        delta = jnp.clip(delta, -1.0, 1.0)
-        # Interior-minimum check (reference rejects |delta|>1; clip is our
-        # masked equivalent, rejection handled via the edge test below).
-        at_edge = (best == 0) | (best == 2 * SLIDE)
-        u_best = (u0c.astype(jnp.float32) + (bi - SLIDE).astype(jnp.float32) + delta)
-        return u_best * scale_factors[l], at_edge
-
-    L = len(levelL_img)
-    uR_all = jnp.zeros((L, N))
-    edge_all = jnp.zeros((L, N), bool)
-    for l in range(L):
-        u_best, at_edge = refine_for_level(l, levelL_img[l], levelR_img[l])
-        uR_all = uR_all.at[l].set(u_best)
-        edge_all = edge_all.at[l].set(at_edge)
-    u_right = jnp.take_along_axis(uR_all, kpL_octave[None, :], axis=0)[0]
-    at_edge = jnp.take_along_axis(edge_all, kpL_octave[None, :], axis=0)[0]
+    W11 = 2 * SAD_W + 1
+    ayL = vL + off
+    winL = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(atlasL, (y - SAD_W, x - SAD_W), (W11, W11))
+    )(ayL, uL)  # (N, 11, 11)
+    winL = winL - winL[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
+    # Right: one wide window (11, 11 + 2*SLIDE) per keypoint, sliced below.
+    wideR = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(
+            atlasR, (y - SAD_W, x - SAD_W - SLIDE), (W11, W11 + 2 * SLIDE)
+        )
+    )(ayL, u0)  # (N, 11, 21)
+    sads = []
+    for s in range(2 * SLIDE + 1):
+        winR = wideR[:, :, s : s + 2 * SAD_W + 1]
+        winR = winR - winR[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
+        sads.append(jnp.sum(jnp.abs(winL - winR), axis=(1, 2)))
+    sad = jnp.stack(sads, axis=1)  # (N, 11)
+    best = jnp.argmin(sad, axis=1)
+    bi = jnp.clip(best, 1, 2 * SLIDE - 1)
+    s_m = jnp.take_along_axis(sad, (bi - 1)[:, None], 1)[:, 0]
+    s_0 = jnp.take_along_axis(sad, bi[:, None], 1)[:, 0]
+    s_p = jnp.take_along_axis(sad, (bi + 1)[:, None], 1)[:, 0]
+    denom = jnp.maximum(2.0 * (s_m + s_p - 2.0 * s_0), 1e-6)
+    delta = jnp.clip((s_m - s_p) / denom, -1.0, 1.0)
+    at_edge = (best == 0) | (best == 2 * SLIDE)
+    u_best = u0.astype(jnp.float32) + (bi - SLIDE).astype(jnp.float32) + delta
+    u_right = u_best * scale_factors[kpL_octave]
 
     disp_final = kpL_uv[:, 0] - u_right
     ok = matched & ~at_edge & (disp_final >= min_d) & (disp_final < max_d)
-    # Reference maps disparity<=0 to disparity=0.01 at the boundary
-    # (src/Frame.cc:660-664); we simply require >= min_d.
     depth = jnp.where(ok, bf / jnp.maximum(disp_final, 1e-6), -1.0)
     u_right = jnp.where(ok, u_right, -1.0)
     return u_right, depth
 
 
-def median_outlier_filter(u_right, depth, sad_dists=None):
-    """The reference's final median * 1.5 * 1.4 SAD-distance outlier cut
-    (src/Frame.cc:672-685) applied to depths via a robust disparity spread.
-
-    Kept as a separate pure function so the caller can disable it.
-    """
-    # Without per-match SAD distances retained we approximate the cut on
-    # disparity consistency; no-op when fewer than 8 matches.
-    return u_right, depth
-
-
 def depth_to_uright(kp_uv, kp_valid, depth_map, depth_factor, bf):
     """RGB-D: read depth at each keypoint, synthesize virtual right u
-    (reference ComputeStereoFromRGBD, src/Frame.cc:689-710).
-
-    depth_map: (H, W) raw depth; depth = raw / depth_factor.
-    """
+    (reference ComputeStereoFromRGBD, src/Frame.cc:689-710)."""
     x = jnp.round(kp_uv[:, 0]).astype(jnp.int32)
     y = jnp.round(kp_uv[:, 1]).astype(jnp.int32)
     h, w = depth_map.shape
