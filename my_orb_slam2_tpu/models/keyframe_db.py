@@ -66,6 +66,22 @@ def add_keyframe(db: KfDatabase, kf_id, words, valid) -> KfDatabase:
 
 
 @jax.jit
+def erase_mask(db: KfDatabase, kill: jnp.ndarray) -> KfDatabase:
+    """Batch-erase keyframes (culling sync; reference KeyFrame::SetBadFlag ->
+    KeyFrameDatabase::erase, src/KeyFrameDatabase.cc:48-67)."""
+    kill = kill & db.kf_valid
+    df_dec = jnp.sum(
+        jnp.where(kill[:, None], (db.kf_bow > 0).astype(jnp.int32), 0), axis=0
+    )
+    return db._replace(
+        kf_bow=jnp.where(kill[:, None], 0, db.kf_bow),
+        kf_valid=db.kf_valid & ~kill,
+        df=db.df - df_dec,
+        n_docs=jnp.maximum(db.n_docs - jnp.sum(kill.astype(jnp.int32)), 0),
+    )
+
+
+@jax.jit
 def erase_keyframe(db: KfDatabase, kf_id) -> KfDatabase:
     counts = db.kf_bow[kf_id]
     return db._replace(

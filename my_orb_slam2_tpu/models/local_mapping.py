@@ -647,6 +647,7 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
         )
 
     red = jax.vmap(redundancy)(jnp.arange(KF)) & cand_mask
+    culled_mask = red
     # Detach: keyframe invalid, observations released, children re-homed to
     # the culled KF's parent (simplified re-homing vs the reference's greedy
     # candidate loop, src/KeyFrame.cc:467-559).
@@ -664,7 +665,7 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
         kf_valid=kf_valid, kf_mp=kf_mp, kf_parent=new_parent, covis=covis
     )
     state = ms.recount_observations(state)
-    return state, jnp.sum(red)
+    return state, culled_mask
 
 
 # ---------------------------------------------------------------------------
@@ -705,6 +706,11 @@ class LocalMapper:
             state = writeback_local_ba(cfg, state, prob, aux, final_mask)
             self.stats["ba_runs"] += 1
         if self.cull:
-            state, n_culled = keyframe_culling(cfg, state, kf)
-            self.stats["kfs_culled"] += int(n_culled)
+            state, culled_mask = keyframe_culling(cfg, state, kf)
+            # Exposed so the owning pipeline can sync the keyframe database
+            # (reference SetBadFlag -> KeyFrameDatabase::erase).
+            self.last_culled_mask = culled_mask
+            self.stats["kfs_culled"] += int(jnp.sum(culled_mask))
+        else:
+            self.last_culled_mask = None
         return state

@@ -1,0 +1,456 @@
+"""Loop closing: detection, Sim3 computation, loop correction, global BA.
+
+Replaces the reference LoopClosing thread (src/LoopClosing.cc) with jitted
+device passes driven by a host `LoopCloser`:
+
+1. `detect` — BoW candidates above the covisibility-neighbor minimum score
+   (src/LoopClosing.cc:115-265) + the 3-consecutive-keyframe covisibility
+   consistency check (host-side group bookkeeping, mnCovisibilityConsistencyTh).
+2. `compute_sim3` — per candidate: descriptor matching (>=20) -> batched
+   Horn Sim3 RANSAC -> guided SearchBySim3 rematch -> 7-dof Sim3 LM
+   (>=20 inliers) -> loop-point projection check (>=40 total matches)
+   (src/LoopClosing.cc:281-477).
+3. `correct_loop` — propagate the corrected Sim3 through the current
+   covisibility group and its map points, fuse loop points, optimize the
+   essential graph with the loop keyframe fixed, then run global bundle
+   adjustment and remap all points (src/LoopClosing.cc:489-865; the
+   reference runs GBA in a transient thread — here it runs synchronously
+   after the pose graph).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from my_orb_slam2_tpu.models import keyframe_db as kdb
+from my_orb_slam2_tpu.models import map_state as ms
+from my_orb_slam2_tpu.ops import ba, horn, lie, matching, pose_graph, sim3_opt
+from my_orb_slam2_tpu.utils.config import SlamConfig
+
+INVALID = -1
+
+
+# ---------------------------------------------------------------------------
+# Sim3 computation for a candidate pair
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def match_and_sim3(cfg: SlamConfig, state: ms.MapState, kf_cur, kf_cand, key):
+    """Steps 2a-2c: match descriptors, RANSAC Horn, Sim3 LM.
+
+    Returns (ok, S_cur_cand (4,4), n_inliers, match_idx (N,), match_ok (N,)).
+    match_idx maps current-KF keypoint slots -> candidate keypoint slots.
+    """
+    cam = cfg.camera
+    MP = state.mp_pos.shape[0]
+    sf = cfg.orb.scale_factor
+    sigma2 = jnp.asarray([sf ** (2 * l) for l in range(cfg.orb.n_levels)], jnp.float32)
+    fix_scale = cfg.sensor.name != "MONOCULAR"
+
+    mp_c = state.kf_mp[kf_cur]
+    mp_d = state.kf_mp[kf_cand]
+    ok_c = (mp_c >= 0) & state.kf_kp_valid[kf_cur] & jnp.take(
+        state.mp_valid, jnp.maximum(mp_c, 0)
+    )
+    ok_d = (mp_d >= 0) & state.kf_kp_valid[kf_cand] & jnp.take(
+        state.mp_valid, jnp.maximum(mp_d, 0)
+    )
+    idx, mok, _ = matching.search_brute(
+        state.kf_desc[kf_cur],
+        ok_c,
+        state.kf_desc[kf_cand],
+        ok_d,
+        state.kf_angle[kf_cur],
+        state.kf_angle[kf_cand],
+        max_dist=float(cfg.matcher.th_low),
+        ratio=0.75,
+    )
+    n_matches = jnp.sum(mok)
+
+    # 3D points of both sides in their camera frames.
+    T_c = state.kf_Tcw[kf_cur]
+    T_d = state.kf_Tcw[kf_cand]
+    p_cur_w = jnp.take(state.mp_pos, jnp.maximum(mp_c, 0), axis=0)
+    p_cand_w = jnp.take(
+        state.mp_pos, jnp.maximum(jnp.take(mp_d, idx), 0), axis=0
+    )
+    p1 = lie.se3_apply(T_c, p_cur_w)  # current cam frame
+    p2 = lie.se3_apply(T_d, p_cand_w)  # candidate cam frame
+    uv1 = state.kf_uv[kf_cur]
+    uv2 = jnp.take(state.kf_uv[kf_cand], idx, axis=0)
+    oct1 = state.kf_octave[kf_cur]
+    oct2 = jnp.take(state.kf_octave[kf_cand], idx)
+    max_e1 = 9.21 * jnp.take(sigma2, oct1)
+    max_e2 = 9.21 * jnp.take(sigma2, oct2)
+
+    rs = horn.ransac_sim3(
+        key, p1, p2, uv1, uv2, mok, max_e1, max_e2,
+        cam.fx, cam.fy, cam.cx, cam.cy,
+        n_iters=128, fix_scale=fix_scale,
+    )
+    # Sim3 LM refinement on RANSAC inliers.
+    inv_s1 = 1.0 / jnp.take(sigma2, oct1)
+    inv_s2_ = 1.0 / jnp.take(sigma2, oct2)
+    opt = sim3_opt.optimize_sim3(
+        rs["S12"], p1, p2, uv1, uv2, inv_s1, inv_s2_,
+        rs["inliers"], cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=fix_scale,
+    )
+    ok = (n_matches >= cfg.loop.sim3_min_bow_matches) & (
+        opt["n_inliers"] >= cfg.loop.sim3_min_inliers
+    )
+    return ok, opt["S12"], opt["n_inliers"], idx, mok & opt["inliers"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def count_loop_point_matches(cfg: SlamConfig, state: ms.MapState, kf_cur, kf_cand, S_cur_cand):
+    """Step 2d: project the candidate neighborhood's map points into the
+    current keyframe through Scw = S_cur_cand * T_cand_w; count matches
+    (reference :408-462, accept at >=40). Returns (n_total, loop_pt_mask,
+    match_idx (N,), match_ok (N,))."""
+    cam = cfg.camera
+    MP = state.mp_pos.shape[0]
+    KF = state.kf_Tcw.shape[0]
+    # Loop points: candidate + its covis neighbors' observations.
+    neigh = state.covis[kf_cand] >= 15
+    group = neigh.at[kf_cand].set(True) & state.kf_valid
+    sel = group[:, None] & (state.kf_mp >= 0) & state.kf_kp_valid
+    loop_pts = jnp.zeros((MP,), bool).at[
+        jnp.where(sel, state.kf_mp, 0).reshape(-1)
+    ].set(sel.reshape(-1))
+    loop_pts = loop_pts & state.mp_valid
+
+    # Scw: world -> current camera through the Sim3.
+    T_cand = state.kf_Tcw[kf_cand]
+    Scw = lie.sim3_mul(S_cur_cand, T_cand)  # T_cand is Sim3 with s=1
+    pc = lie.sim3_apply(Scw, state.mp_pos)
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    uv_p = jnp.stack(
+        [cam.fx * pc[:, 0] / zs + cam.cx, cam.fy * pc[:, 1] / zs + cam.cy], axis=1
+    )
+    in_img = (
+        (uv_p[:, 0] >= 0) & (uv_p[:, 0] < cam.width)
+        & (uv_p[:, 1] >= 0) & (uv_p[:, 1] < cam.height) & (z > 0)
+    )
+    sf = cfg.orb.scale_factor
+    sf_tab = jnp.asarray([sf ** l for l in range(cfg.orb.n_levels)], jnp.float32)
+    idx, okm, _ = matching.search_by_projection(
+        uv_p,
+        jnp.zeros((MP,), jnp.int32),
+        loop_pts & in_img,
+        state.mp_desc,
+        jnp.full((MP,), 8.0),
+        state.kf_uv[kf_cur],
+        state.kf_octave[kf_cur],
+        state.kf_kp_valid[kf_cur],
+        state.kf_desc[kf_cur],
+        level_lo=jnp.zeros((MP,), jnp.int32),
+        level_hi=jnp.full((MP,), cfg.orb.n_levels - 1, jnp.int32),
+        max_dist=float(cfg.matcher.th_low),
+        ratio=1.0,
+    )
+    N = state.kf_uv.shape[1]
+    kp_match = jnp.full((N,), INVALID, jnp.int32).at[
+        jnp.where(okm, idx, N - 1)
+    ].max(jnp.where(okm, jnp.arange(MP), INVALID), mode="drop")
+    return jnp.sum(okm), loop_pts, kp_match
+
+
+# ---------------------------------------------------------------------------
+# Loop correction
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def correct_loop_state(
+    cfg: SlamConfig,
+    state: ms.MapState,
+    db_loop_edges,  # unused placeholder for future
+    kf_cur,
+    kf_cand,
+    S_cur_cand,
+    loop_pt_mask,
+    kp_loop_match,  # (N,) map-point id matched to each current-KF keypoint
+):
+    """Apply the loop correction (reference CorrectLoop :489-696):
+
+    - corrected Scw for the current covisibility group via relative poses
+    - group map points remapped through old->corrected transforms
+    - matched loop points replace the current keypoints' points
+    - essential-graph optimization with the loop keyframe fixed
+    - all keyframe poses + map points updated from the optimized graph
+    """
+    cam = cfg.camera
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    fix_scale = cfg.sensor.name != "MONOCULAR"
+
+    pre_Tcw = state.kf_Tcw  # snapshot for edge measurements + remapping
+    T_cur = state.kf_Tcw[kf_cur]
+    T_cand = state.kf_Tcw[kf_cand]
+    Scw_corr = lie.sim3_mul(S_cur_cand, T_cand)  # corrected current pose
+
+    group = (state.covis[kf_cur] >= 15).at[kf_cur].set(True) & state.kf_valid
+
+    # Corrected Sim3 per group member: S_iw = T_ic * Scw_corr.
+    T_wc = lie.se3_inverse(T_cur)
+
+    def member_pose(i):
+        T_ic = state.kf_Tcw[i] @ T_wc  # SE3 relative, scale 1
+        return lie.sim3_mul(T_ic, Scw_corr)
+
+    S_all = jax.vmap(member_pose)(jnp.arange(KF))  # (KF, 4, 4)
+    S_corrected = jnp.where(group[:, None, None], S_all, pre_Tcw)
+
+    # Remap the group's map points: p' = S_corr^-1 (S_old p) using the
+    # observing member (first-come via scatter; reference marks each point
+    # once with mnCorrectedByKF, :560-583).
+    obs_sel = group[:, None] & (state.kf_mp >= 0) & state.kf_kp_valid
+    corrector = jnp.full((MP + 1,), -1, jnp.int32).at[
+        jnp.where(obs_sel, state.kf_mp, MP).reshape(-1)
+    ].max(
+        jnp.where(obs_sel, jnp.arange(KF)[:, None].repeat(N, 1), -1).reshape(-1)
+    )[:MP]
+    has_corr = corrector >= 0
+    ci = jnp.maximum(corrector, 0)
+    T_old = pre_Tcw[ci]  # (MP, 4, 4)
+    S_new = S_corrected[ci]
+
+    def remap(p, T_o, S_n):
+        pc = lie.se3_apply(T_o, p)
+        return lie.sim3_apply(lie.sim3_inverse(S_n), pc)
+
+    p_corr = jax.vmap(remap)(state.mp_pos, T_old, S_new)
+    mp_pos = jnp.where((has_corr & state.mp_valid)[:, None], p_corr, state.mp_pos)
+
+    # Group keyframe poses -> SE3 (t/s, reference :597-606).
+    Tcw_corr = jax.vmap(lie.sim3_to_se3)(S_corrected)
+    kf_Tcw = jnp.where(group[:, None, None], Tcw_corr, state.kf_Tcw)
+    state = state._replace(mp_pos=mp_pos, kf_Tcw=kf_Tcw)
+
+    # Replace current keypoints' points with matched loop points
+    # (reference :615-630: loop point wins).
+    row = state.kf_mp[kf_cur]
+    new_row = jnp.where(kp_loop_match >= 0, kp_loop_match, row)
+    replaced = (kp_loop_match >= 0) & (row >= 0) & (row != kp_loop_match)
+    # tombstone the replaced duplicates
+    dead = jnp.zeros((MP,), bool).at[jnp.where(replaced, row, 0)].set(replaced)
+    state = state._replace(
+        kf_mp=state.kf_mp.at[kf_cur].set(new_row),
+        mp_valid=state.mp_valid & ~dead,
+    )
+    state = ms.recount_observations(state)
+
+    # Loop edge + refreshed covisibility for the current keyframe.
+    state = ms.refresh_covisibility(
+        state, jnp.array([kf_cur, kf_cand], jnp.int32)
+    )
+    loop_edges = state.loop_edges.at[kf_cur, kf_cand].set(True).at[kf_cand, kf_cur].set(True)
+    state = state._replace(loop_edges=loop_edges)
+
+    # Essential graph: vertices = corrected poses as Sim3; measurements from
+    # pre-correction poses except the new loop constraint.
+    S_vertices = jnp.where(
+        group[:, None, None], S_corrected, pre_Tcw
+    )
+    ei, ej, Sji, e_ok = pose_graph.build_essential_edges(
+        state.covis,
+        state.kf_parent,
+        loop_edges,
+        state.kf_valid,
+        pre_Tcw,
+        min_weight=cfg.loop.essential_graph_min_weight,
+    )
+    # Override measurements for edges touching the current group with the
+    # corrected relative poses (the loop edge constraint carries through
+    # S_corrected; reference feeds CorrectedSim3 as vScw for group members).
+    def fix_meas(a, b, sji):
+        both_group = group[a] | group[b]
+        S_a = jnp.where(group[a], S_corrected[a], pre_Tcw[a])
+        S_b = jnp.where(group[b], S_corrected[b], pre_Tcw[b])
+        corr = lie.sim3_mul(S_b, lie.sim3_inverse(S_a))
+        return jnp.where(both_group, corr, sji)
+
+    Sji = jax.vmap(fix_meas)(ei, ej, Sji)
+
+    S_opt = pose_graph.optimize_pose_graph(
+        S_vertices,
+        state.kf_valid,
+        jnp.zeros((KF,), bool).at[kf_cand].set(True),
+        ei, ej, Sji, e_ok,
+        n_iters=cfg.loop.pose_graph_iters,
+        fix_scale=fix_scale,
+    )
+    # Apply: poses to SE3; points remapped through their reference keyframe
+    # (reference :1036-1067).
+    Tcw_opt = jax.vmap(lie.sim3_to_se3)(S_opt)
+    ref = jnp.clip(state.mp_ref_kf, 0, KF - 1)
+    T_old_ref = kf_Tcw[ref]  # post-group-correction, pre-pose-graph
+
+    def remap2(p, T_o, S_n):
+        pc = lie.se3_apply(T_o, p)
+        return lie.sim3_apply(lie.sim3_inverse(S_n), pc)
+
+    p2 = jax.vmap(remap2)(state.mp_pos, T_old_ref, S_opt[ref])
+    mp_pos2 = jnp.where(state.mp_valid[:, None], p2, state.mp_pos)
+    state = state._replace(
+        kf_Tcw=jnp.where(state.kf_valid[:, None, None], Tcw_opt, state.kf_Tcw),
+        mp_pos=mp_pos2,
+    )
+    state = ms.update_point_geometry(
+        state, state.mp_valid, cfg.orb.scale_factor, cfg.orb.n_levels
+    )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Global bundle adjustment
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_obs"))
+def extract_global_ba(cfg: SlamConfig, state: ms.MapState, max_obs: int = 262144):
+    """Full-map BA problem: all valid keyframes + points + observations
+    (reference GlobalBundleAdjustemnt, src/Optimizer.cc:41-46; KF0 fixed)."""
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    obs_ok = (state.kf_mp >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+    lm = jnp.where(obs_ok, state.kf_mp, MP)
+    obs_ok = obs_ok & jnp.take(
+        jnp.concatenate([state.mp_valid, jnp.array([False])]), lm
+    )
+    flat = obs_ok.reshape(-1)
+    sel = jnp.nonzero(flat, size=max_obs, fill_value=KF * N)[0]
+    ok = sel < KF * N
+    s = jnp.where(ok, sel, 0)
+    o_kf = (s // N).astype(jnp.int32)
+    o_slot = (s % N).astype(jnp.int32)
+    o_pt = state.kf_mp[o_kf, o_slot]
+    sf = cfg.orb.scale_factor
+    inv_sigma2 = jnp.asarray(
+        [1.0 / sf ** (2 * l) for l in range(cfg.orb.n_levels)], jnp.float32
+    )[state.kf_octave[o_kf, o_slot]]
+    prob = ba.BAProblem(
+        cam_Tcw=state.kf_Tcw,
+        cam_fixed=(~state.kf_valid).at[0].set(True),
+        pt_pos=state.mp_pos,
+        pt_valid=state.mp_valid,
+        obs_cam=o_kf,
+        obs_pt=jnp.where(ok, jnp.maximum(o_pt, 0), 0),
+        obs_uv=state.kf_uv[o_kf, o_slot],
+        obs_ur=jnp.where(ok, state.kf_ur[o_kf, o_slot], -1.0),
+        obs_inv_sigma2=inv_sigma2,
+        obs_mask=ok,
+    )
+    return prob
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def writeback_global_ba(cfg: SlamConfig, state: ms.MapState, prob: ba.BAProblem):
+    state = state._replace(
+        kf_Tcw=jnp.where(state.kf_valid[:, None, None], prob.cam_Tcw, state.kf_Tcw),
+        mp_pos=jnp.where(state.mp_valid[:, None], prob.pt_pos, state.mp_pos),
+    )
+    return ms.update_point_geometry(
+        state, state.mp_valid, cfg.orb.scale_factor, cfg.orb.n_levels
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig, vocab, run_global_ba: bool = True):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.run_global_ba = run_global_ba
+        self.last_loop_kf = -(10 ** 9)
+        self.consistent_groups = []  # list[(set_of_kf, count)]
+        self._key = jax.random.PRNGKey(11)
+        self.loops_closed = 0
+
+    def process(self, state: ms.MapState, db: kdb.KfDatabase, kf_id: int):
+        """Run detection (+ correction if a loop is confirmed).
+
+        Returns (state, closed: bool).
+        """
+        cfg = self.cfg
+        if kf_id - self.last_loop_kf < cfg.loop.min_kfs_since_last_loop:
+            return state, False
+        if int(db.n_docs) < cfg.loop.min_kfs_since_last_loop:
+            return state, False
+
+        # min score vs covisible neighbors (reference :140-154).
+        covis_row = np.asarray(state.covis[kf_id])
+        neigh = np.nonzero((covis_row >= 15) & np.asarray(state.kf_valid))[0]
+        if len(neigh) == 0:
+            return state, False
+        min_score = 1.0
+        for nkf in neigh[:10]:
+            s = float(kdb.score_between(db, jnp.int32(kf_id), jnp.int32(int(nkf))))
+            min_score = min(min_score, s)
+
+        ids, scores = kdb.detect_loop_candidates(
+            db, state, jnp.int32(kf_id), jnp.float32(min_score)
+        )
+        ids = [int(i) for i in np.asarray(ids) if i >= 0]
+        if not ids:
+            self.consistent_groups = []
+            return state, False
+
+        # Covisibility consistency over consecutive keyframes (:186-247).
+        covis = np.asarray(state.covis)
+        enough = []
+        new_groups = []
+        for cand in ids:
+            cand_group = set(np.nonzero(covis[cand] >= 15)[0].tolist()) | {cand}
+            best_count = 0
+            for prev_set, count in self.consistent_groups:
+                if cand_group & prev_set:
+                    best_count = max(best_count, count + 1)
+            new_groups.append((cand_group, best_count))
+            if best_count >= cfg.loop.covisibility_consistency_th:
+                enough.append(cand)
+        self.consistent_groups = new_groups
+        if not enough:
+            return state, False
+
+        # Sim3 per consistent candidate.
+        for cand in enough:
+            self._key, k1 = jax.random.split(self._key)
+            ok, S12, n_inl, idx, mok = match_and_sim3(
+                cfg, state, jnp.int32(kf_id), jnp.int32(cand), k1
+            )
+            if not bool(ok):
+                continue
+            n_total, loop_pts, kp_match = count_loop_point_matches(
+                cfg, state, jnp.int32(kf_id), jnp.int32(cand), S12
+            )
+            if int(n_total) < cfg.loop.min_total_matches:
+                continue
+            # Accept: correct the loop.
+            state = correct_loop_state(
+                cfg, state, None, jnp.int32(kf_id), jnp.int32(cand),
+                S12, loop_pts, kp_match,
+            )
+            if self.run_global_ba:
+                cam = cfg.camera
+                prob = extract_global_ba(cfg, state)
+                prob = ba.bundle_adjust(
+                    prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                    n_iters=cfg.loop.global_ba_iters, cg_iters=64,
+                )
+                state = writeback_global_ba(cfg, state, prob)
+            self.last_loop_kf = kf_id
+            self.consistent_groups = []
+            self.loops_closed += 1
+            return state, True
+        return state, False

@@ -1,0 +1,229 @@
+"""System facade: the user-facing entry point (reference src/System.cc).
+
+Wires the Tracker, LocalMapper, KeyFrameDatabase, Relocalizer and LoopCloser
+together and exposes the reference's public API surface
+(include/System.h:63-124):
+
+- track_stereo / track_rgbd / track_mono (per-frame entry points)
+- activate/deactivate_localization_mode (tracking-only, no map mutation)
+- reset, shutdown
+- save_trajectory_tum / save_keyframe_trajectory_tum / save_trajectory_kitti
+- get_tracking_state, get_tracked_map_points, map_changed
+- save_map / load_map — a real feature here (npz snapshot of the SoA map);
+  the reference left it as a TODO (include/System.h:116-118)
+
+The reference decouples Tracking / LocalMapping / LoopClosing with three
+threads + queues; on a single accelerator the device serializes compute
+anyway, so the pipeline runs synchronously per keyframe with async dispatch
+providing the overlap (see bench.py's pipelined loop).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from my_orb_slam2_tpu.models import keyframe_db as kdb
+from my_orb_slam2_tpu.models import map_state as ms
+from my_orb_slam2_tpu.models.frame import FrameData, FrameFactory
+from my_orb_slam2_tpu.models.local_mapping import LocalMapper
+from my_orb_slam2_tpu.models.loop_closing import LoopCloser
+from my_orb_slam2_tpu.models.relocalization import Relocalizer
+from my_orb_slam2_tpu.models.tracking import Tracker, TrackingState
+from my_orb_slam2_tpu.ops import bow as bow_ops
+from my_orb_slam2_tpu.ops import lie
+from my_orb_slam2_tpu.utils.config import SlamConfig, Sensor
+
+
+class _MappingChain:
+    """Per-keyframe pipeline: local mapping -> keyframe database insert ->
+    loop closing (the synchronous analog of the two consumer threads)."""
+
+    def __init__(self, system: "SlamSystem"):
+        self.sys = system
+
+    def process(self, state: ms.MapState, kf_id: int) -> ms.MapState:
+        sys = self.sys
+        if not sys.tracker.only_tracking:
+            state = sys.local_mapper.process(state, kf_id)
+            culled = getattr(sys.local_mapper, "last_culled_mask", None)
+            if culled is not None:
+                sys.db = kdb.erase_mask(sys.db, culled)
+        # BoW insert (reference LocalMapping passes KFs on to LoopClosing,
+        # which inserts into the database after processing).
+        words = sys.vocab.words(state.kf_desc[kf_id])
+        sys.db = kdb.add_keyframe(
+            sys.db, jnp.int32(kf_id), words, state.kf_kp_valid[kf_id]
+        )
+        if sys.enable_loop_closing and not sys.tracker.only_tracking:
+            state, closed = sys.loop_closer.process(state, sys.db, kf_id)
+            if closed:
+                sys.map_change_idx += 1
+        return state
+
+
+class SlamSystem:
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        use_images: bool = True,
+        vocab=None,
+        enable_loop_closing: bool = True,
+        run_global_ba_on_loop: bool = True,
+        capacity: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.factory = FrameFactory(cfg) if use_images else None
+        if capacity is None:
+            capacity = self.factory.capacity if use_images else cfg.orb.padded_n_features
+        self.capacity = capacity
+        self.vocab = vocab or bow_ops.LshVocabulary(n_bits=16)
+        self.db = kdb.init_db(cfg.capacity.max_keyframes, capacity, self.vocab.n_words)
+        self.local_mapper = LocalMapper(cfg)
+        self.loop_closer = LoopCloser(cfg, self.vocab, run_global_ba=run_global_ba_on_loop)
+        self.relocalizer = Relocalizer(cfg, self.vocab)
+        self.enable_loop_closing = enable_loop_closing
+        self.tracker = Tracker(cfg, capacity, local_mapper=_MappingChain(self))
+        self.map_change_idx = 0
+        self.timing = []
+
+    # -- per-frame entry points (reference System::Track*) -----------------
+
+    def track_stereo(self, img_left, img_right, timestamp: float) -> dict:
+        frame = self.factory.build_stereo(img_left, img_right)
+        return self._track(frame, timestamp)
+
+    def track_rgbd(self, img, depth, timestamp: float) -> dict:
+        frame = self.factory.build_rgbd(img, depth)
+        return self._track(frame, timestamp)
+
+    def track_mono(self, img, timestamp: float) -> dict:
+        frame = self.factory.build_mono(img)
+        return self._track(frame, timestamp)
+
+    def track_frame_data(self, frame: FrameData, timestamp: float) -> dict:
+        """Synthetic / precomputed-feature entry point (fake backend)."""
+        return self._track(frame, timestamp)
+
+    def _track(self, frame: FrameData, timestamp: float) -> dict:
+        t0 = time.perf_counter()
+        tr = self.tracker
+        if tr.state == TrackingState.LOST:
+            ok, Tcw, cur_mp, n, kf = self.relocalizer.relocalize(tr.map, self.db, frame)
+            if ok:
+                tr.state = TrackingState.OK
+                tr.Tcw = Tcw.astype(np.float32)
+                tr.velocity = None
+                tr.last_frame = frame
+                tr.last_mp = cur_mp
+                tr.ref_kf = kf
+                tr.last_reloc_frame_id = tr.frame_id
+                tr._ref_pose_host = np.asarray(tr.map.kf_Tcw[kf])
+        info = tr.track(frame, timestamp)
+        info["track_ms"] = (time.perf_counter() - t0) * 1000.0
+        self.timing.append(info["track_ms"])
+        return info
+
+    # -- modes / control (reference System.h:79-97) ------------------------
+
+    def activate_localization_mode(self):
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.only_tracking = False
+
+    def reset(self):
+        cfg = self.cfg
+        self.db = kdb.init_db(
+            cfg.capacity.max_keyframes, self.capacity, self.vocab.n_words
+        )
+        self.tracker = Tracker(cfg, self.capacity, local_mapper=_MappingChain(self))
+        self.loop_closer = LoopCloser(cfg, self.vocab)
+        self.map_change_idx += 1
+
+    def shutdown(self):
+        pass  # synchronous pipeline: nothing to join
+
+    def get_tracking_state(self) -> int:
+        return self.tracker.state
+
+    def get_tracked_map_points(self):
+        lm = self.tracker.last_mp
+        return np.asarray(lm)[np.asarray(lm) >= 0] if lm is not None else np.array([])
+
+    def map_changed(self) -> bool:
+        idx = self.map_change_idx
+        changed = getattr(self, "_last_seen_change", -1) < idx
+        self._last_seen_change = idx
+        return changed
+
+    # -- trajectory export (reference System.cc:322-472) -------------------
+
+    def save_trajectory_tum(self, path: str):
+        """TUM format: `t tx ty tz qx qy qz qw` per frame (camera-to-world)."""
+        with open(path, "w") as f:
+            for fid, ts, Tcw, lost in self.tracker.trajectory_poses():
+                if lost:
+                    continue
+                Twc = np.linalg.inv(Tcw)
+                q = np.asarray(lie.rotation_to_quaternion(jnp.asarray(Twc[:3, :3])))
+                t = Twc[:3, 3]
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        m = self.tracker.map
+        valid = np.asarray(m.kf_valid)
+        ts_all = np.asarray(m.kf_timestamp)
+        Tcw_all = np.asarray(m.kf_Tcw)
+        with open(path, "w") as f:
+            for k in np.nonzero(valid)[0]:
+                Twc = np.linalg.inv(Tcw_all[k])
+                q = np.asarray(lie.rotation_to_quaternion(jnp.asarray(Twc[:3, :3])))
+                t = Twc[:3, 3]
+                f.write(
+                    f"{ts_all[k]:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: 12 entries of the 3x4 camera-to-world matrix."""
+        with open(path, "w") as f:
+            for fid, ts, Tcw, lost in self.tracker.trajectory_poses():
+                Twc = np.linalg.inv(Tcw)
+                r = Twc[:3, :4].reshape(-1)
+                f.write(" ".join(f"{v:.9e}" for v in r) + "\n")
+
+    # -- map persistence (reference TODO System.h:116-118) -----------------
+
+    def save_map(self, path: str):
+        m = self.tracker.map
+        arrays = {f: np.asarray(getattr(m, f)) for f in m._fields}
+        db_arrays = {f"db_{f}": np.asarray(getattr(self.db, f)) for f in self.db._fields}
+        np.savez_compressed(path, **arrays, **db_arrays)
+
+    def load_map(self, path: str):
+        data = np.load(path)
+        m = self.tracker.map
+        self.tracker.map = ms.MapState(
+            **{f: jnp.asarray(data[f]) for f in m._fields}
+        )
+        self.db = kdb.KfDatabase(
+            **{f: jnp.asarray(data[f"db_{f}"]) for f in self.db._fields}
+        )
+        self.tracker.n_kf = int(self.tracker.map.n_kf)
+
+    # -- stats -------------------------------------------------------------
+
+    def timing_summary(self) -> dict:
+        t = np.asarray(self.timing[4:]) if len(self.timing) > 8 else np.asarray(self.timing)
+        return {
+            "median_ms": float(np.median(t)) if len(t) else 0.0,
+            "mean_ms": float(np.mean(t)) if len(t) else 0.0,
+        }

@@ -456,9 +456,14 @@ def track_frame(
     stats = jnp.concatenate(
         [stats6, jnp.stack([stage1_inl, motion_ok.astype(jnp.int32)])]
     )
-    # Pack pose + stats into one f32 vector: a single device->host fetch
-    # per frame (each fetch is a full tunnel round-trip).
-    packed = jnp.concatenate([res_l.Tcw.reshape(16), stats.astype(jnp.float32)])
+    # Pack pose + stats + reference-KF pose into one f32 vector: a single
+    # device->host fetch per frame (each fetch is a full tunnel round-trip).
+    # The ref-KF pose feeds the relative trajectory log without another RTT.
+    ref_kf_now = stats6[4].astype(jnp.int32)
+    T_ref = state.kf_Tcw[ref_kf_now]
+    packed = jnp.concatenate(
+        [res_l.Tcw.reshape(16), stats.astype(jnp.float32), T_ref.reshape(16)]
+    )
     return state, res_l.cur_mp, packed
 
 
@@ -487,8 +492,14 @@ class Tracker:
         self.n_kf = 0
         self.ref_kf = 0
         self.local_mapper = local_mapper
-        self.trajectory = []  # (frame_id, timestamp, Tcw 4x4 np)
+        # Relative-pose trajectory log (reference mlRelativeFramePoses,
+        # src/Tracking.cc:535-551): (frame_id, timestamp, ref_kf, T_rel,
+        # lost) with T_rel = Tcw * inv(T_ref_kf); composed with the final
+        # keyframe poses at save time so loop corrections propagate to the
+        # whole trajectory.
+        self.trajectory = []
         self.kf_counter = 0
+        self.only_tracking = False  # localization mode (no KF insertion)
 
     # -- initialization ----------------------------------------------------
 
@@ -513,6 +524,7 @@ class Tracker:
         self.state = TrackingState.OK
         self.n_kf = int(self.map.n_kf)
         self.ref_kf = int(kf_id)
+        self._ref_pose_host = np.eye(4, dtype=np.float32)
         self.last_kf_frame_id = self.frame_id
         self.kf_counter += 1
         if self.local_mapper is not None:
@@ -556,7 +568,8 @@ class Tracker:
         )
         packed = np.asarray(packed_dev)  # single per-frame readback
         Tcw_dev = packed[:16].reshape(4, 4)
-        stats = packed[16:]
+        stats = packed[16:24]
+        self._ref_pose_host = packed[24:40].reshape(4, 4)
         n_inliers = int(stats[0])
         stage1_inl = int(stats[6])
         info["motion_inliers" if stats[7] else "refkf_inliers"] = stage1_inl
@@ -591,6 +604,7 @@ class Tracker:
             self.n_kf = int(self.map.n_kf)
             self.last_kf_frame_id = self.frame_id
             self.ref_kf = int(kf_id)
+            self._ref_pose_host = Tcw_new  # new KF pose == current frame pose
             self.kf_counter += 1
             info["kf"] = True
             cur_mp = self.map.kf_mp[kf_id]
@@ -607,6 +621,8 @@ class Tracker:
 
     def _need_new_keyframe(self, stats) -> bool:
         """Reference NeedNewKeyFrame conditions (src/Tracking.cc:1049-1140)."""
+        if self.only_tracking:  # localization mode (src/Tracking.cc:1051)
+            return False
         cfg = self.cfg
         n_inliers = int(stats[0])
         ref_matches = int(stats[1])
@@ -628,4 +644,21 @@ class Tracker:
         return bool((c1a or c1b or c1c) and c2)
 
     def _log_pose(self, timestamp: float):
-        self.trajectory.append((self.frame_id, timestamp, self.Tcw.copy()))
+        lost = self.state != TrackingState.OK
+        T_ref = getattr(self, "_ref_pose_host", None)
+        if T_ref is None:
+            T_ref = self.Tcw  # first frames: ref == self
+        T_rel = self.Tcw @ np.linalg.inv(T_ref)
+        self.trajectory.append(
+            (self.frame_id, timestamp, self.ref_kf, T_rel.astype(np.float32), lost)
+        )
+
+    def trajectory_poses(self) -> list:
+        """Compose the relative log with the *current* keyframe poses
+        (reference SaveTrajectoryTUM, src/System.cc:322-380). Returns
+        [(frame_id, timestamp, Tcw (4,4) np, lost)]."""
+        kf_Tcw = np.asarray(self.map.kf_Tcw)
+        out = []
+        for fid, ts, ref, T_rel, lost in self.trajectory:
+            out.append((fid, ts, T_rel @ kf_Tcw[ref], lost))
+        return out

@@ -76,6 +76,7 @@ def test_tracking_recovers_scale_consistency():
         frame, _ = world.observe(Tcw, CAPACITY, seed=200 + i)
         tracker.track(frame, i * 0.033)
     # translation magnitude of trajectory vs ground truth
-    est_t = np.linalg.norm(tracker.trajectory[-1][2][:3, 3] - tracker.trajectory[0][2][:3, 3])
+    poses_out = tracker.trajectory_poses()
+    est_t = np.linalg.norm(poses_out[-1][2][:3, 3] - poses_out[0][2][:3, 3])
     gt_t = np.linalg.norm(poses[-1][:3, 3] - poses[0][:3, 3])
     assert abs(est_t - gt_t) / gt_t < 0.05
