@@ -1,0 +1,92 @@
+"""Dataset driver: the analog of the reference's six example mains
+(Examples/Monocular/mono_tum, mono_kitti, Examples/Stereo/stereo_kitti,
+stereo_euroc, Examples/RGB-D/rgbd_tum).
+
+Usage:
+  python examples/run_dataset.py tum-rgbd  SEQ_DIR SETTINGS.yaml [--assoc F]
+  python examples/run_dataset.py tum-mono  SEQ_DIR SETTINGS.yaml
+  python examples/run_dataset.py kitti     SEQ_DIR SETTINGS.yaml
+  python examples/run_dataset.py euroc     CAM0 CAM1 STAMPS SETTINGS.yaml
+
+Outputs CameraTrajectory.txt (+ KeyFrameTrajectory.txt) in the cwd and
+prints median/mean per-frame tracking time, like the reference mains
+(Examples/Monocular/mono_tum.cc:97-126).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from my_orb_slam2_tpu.models.system import SlamSystem
+from my_orb_slam2_tpu.utils.config import Sensor, load_yaml_settings
+from my_orb_slam2_tpu.utils import datasets
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("kind", choices=["tum-rgbd", "tum-mono", "kitti", "euroc"])
+    ap.add_argument("paths", nargs="+")
+    ap.add_argument("--assoc", default=None)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--realtime", action="store_true", help="pace input at dataset fps")
+    args = ap.parse_args()
+
+    if args.kind == "tum-rgbd":
+        seq, settings = args.paths
+        cfg = load_yaml_settings(settings, Sensor.RGBD)
+        ds = datasets.TumRgbdDataset(seq, args.assoc)
+    elif args.kind == "tum-mono":
+        seq, settings = args.paths
+        cfg = load_yaml_settings(settings, Sensor.MONOCULAR)
+        ds = datasets.TumMonoDataset(seq)
+    elif args.kind == "kitti":
+        seq, settings = args.paths
+        cfg = load_yaml_settings(settings, Sensor.STEREO)
+        ds = datasets.KittiStereoDataset(seq)
+    else:
+        cam0, cam1, stamps, settings = args.paths
+        cfg = load_yaml_settings(settings, Sensor.STEREO)
+        ds = datasets.EurocStereoDataset(cam0, cam1, stamps)
+
+    system = SlamSystem(cfg)
+    times = []
+    last_t = None
+    for i, frame in enumerate(ds.frames()):
+        if args.max_frames and i >= args.max_frames:
+            break
+        t0 = time.perf_counter()
+        if args.kind == "tum-rgbd":
+            rgb, depth, ts = frame
+            info = system.track_rgbd(rgb, depth, ts)
+        elif args.kind == "tum-mono":
+            img, ts = frame
+            info = system.track_mono(img, ts)
+        else:
+            l, r, ts = frame
+            info = system.track_stereo(l, r, ts)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        if args.realtime and last_t is not None and ts - last_t > dt:
+            time.sleep(ts - last_t - dt)
+        last_t = ts
+        if i % 50 == 0:
+            print(f"frame {i}: state={info['state']} "
+                  f"inliers={info.get('localmap_inliers', '-')} {dt*1000:.0f}ms",
+                  flush=True)
+
+    system.shutdown()
+    system.save_trajectory_tum("CameraTrajectory.txt")
+    system.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
+    if args.kind == "kitti":
+        system.save_trajectory_kitti("CameraTrajectoryKITTI.txt")
+    t = np.asarray(times[4:])
+    print(f"median tracking time: {np.median(t)*1000:.1f} ms")
+    print(f"mean tracking time:   {np.mean(t)*1000:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

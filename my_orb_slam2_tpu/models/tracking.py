@@ -539,9 +539,13 @@ class Tracker:
         if self.state == TrackingState.NOT_INITIALIZED:
             if self.cfg.camera.bf > 0:
                 ok = self.initialize_stereo(frame, timestamp)
-                info["initialized"] = ok
             else:
-                raise NotImplementedError("monocular init handled by MonoInitializer")
+                if not hasattr(self, "_mono_init") or self._mono_init is None:
+                    from my_orb_slam2_tpu.models.mono_init import MonoInitializer
+
+                    self._mono_init = MonoInitializer(self.cfg)
+                ok = self._mono_init.try_initialize(self, frame, timestamp)
+            info["initialized"] = ok
             self._log_pose(timestamp)
             self.frame_id += 1
             info["Tcw"] = self.Tcw.copy()

@@ -1,0 +1,72 @@
+"""Vocabulary serialization: DBoW2 text format + packed npz.
+
+The reference loads a ~1M-word ORB vocabulary from `ORBvoc.txt` at startup
+via a slow text parse (reference TemplatedVocabulary::loadFromTextFile,
+Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1338-1424; System.cc:64-72).
+Format: a header line `k L scoring_type weighting_type`, then one line per
+node: `parent_id is_leaf d0 .. d31 weight` with the 32 descriptor bytes in
+BFS order.
+
+`load_dbow2_text` packs that tree into the TreeVocabulary array form
+(centers, children, leaf word ids); `save_packed`/`load_packed` snapshot a
+vocabulary to npz so subsequent startups skip the text parse entirely
+(the reference pays the parse cost every run).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from my_orb_slam2_tpu.ops.bow import TreeVocabulary
+
+
+def load_dbow2_text(path: str) -> TreeVocabulary:
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, descs, weights = [], [], []
+        for line in f:
+            p = line.split()
+            if len(p) < 34:
+                continue
+            parents.append(int(p[0]))
+            descs.append([int(x) for x in p[2:34]])
+            weights.append(float(p[34]) if len(p) > 34 else 1.0)
+    n = len(parents)
+    # Node ids in file order are 1..n (0 is the implicit root).
+    n_nodes = n + 1
+    centers = np.zeros((n_nodes, 8), np.uint32)
+    byte_arr = np.asarray(descs, np.uint8)  # (n, 32)
+    centers[1:] = byte_arr.view("<u4").reshape(n, 8)
+    children = np.full((n_nodes, k), -1, np.int32)
+    child_count = np.zeros(n_nodes, np.int32)
+    for i, p in enumerate(parents):
+        nid = i + 1
+        if child_count[p] < k:
+            children[p, child_count[p]] = nid
+            child_count[p] += 1
+    leaf_word = np.full(n_nodes, 0, np.int32)
+    w = 0
+    for nid in range(n_nodes):
+        if child_count[nid] == 0:
+            leaf_word[nid] = w
+            w += 1
+    return TreeVocabulary(centers, children, leaf_word, k, L)
+
+
+def save_packed(voc: TreeVocabulary, path: str):
+    np.savez_compressed(
+        path,
+        centers=np.asarray(voc.centers),
+        children=np.asarray(voc.children),
+        leaf_word=np.asarray(voc.leaf_word),
+        k=voc.k,
+        depth=voc.depth,
+    )
+
+
+def load_packed(path: str) -> TreeVocabulary:
+    d = np.load(path)
+    return TreeVocabulary(
+        d["centers"], d["children"], d["leaf_word"], int(d["k"]), int(d["depth"])
+    )

@@ -1,0 +1,115 @@
+"""Dataset loader + visualization tests with synthetic files on disk."""
+
+import os
+
+import numpy as np
+import pytest
+
+from my_orb_slam2_tpu.utils import datasets, viz
+
+cv2 = pytest.importorskip("cv2")
+
+
+def make_tum_seq(tmp_path, n=3, h=120, w=160):
+    rng = np.random.default_rng(0)
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    rgb_lines, depth_lines = ["# rgb"], ["# depth"]
+    for i in range(n):
+        t = 1000.0 + i * 0.05
+        img = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        dep = rng.integers(500, 5000, (h, w), dtype=np.uint16)
+        cv2.imwrite(str(tmp_path / "rgb" / f"{t:.6f}.png"), img)
+        cv2.imwrite(str(tmp_path / "depth" / f"{t+0.01:.6f}.png"), dep)
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        depth_lines.append(f"{t+0.01:.6f} depth/{t+0.01:.6f}.png")
+    (tmp_path / "rgb.txt").write_text("\n".join(rgb_lines))
+    (tmp_path / "depth.txt").write_text("\n".join(depth_lines))
+    return tmp_path
+
+
+def test_tum_rgbd_loader(tmp_path):
+    seq = make_tum_seq(tmp_path)
+    ds = datasets.TumRgbdDataset(str(seq))
+    assert len(ds) == 3
+    frames = list(ds.frames())
+    rgb, depth, ts = frames[0]
+    assert rgb.shape == (120, 160) and depth.dtype == np.uint16
+    assert abs(ts - 1000.0) < 1e-6
+
+
+def test_kitti_loader(tmp_path):
+    rng = np.random.default_rng(1)
+    (tmp_path / "image_0").mkdir()
+    (tmp_path / "image_1").mkdir()
+    for i in range(2):
+        for c in ("image_0", "image_1"):
+            cv2.imwrite(
+                str(tmp_path / c / f"{i:06d}.png"),
+                rng.integers(0, 255, (90, 160), dtype=np.uint8),
+            )
+    (tmp_path / "times.txt").write_text("0.0\n0.1\n")
+    ds = datasets.KittiStereoDataset(str(tmp_path))
+    frames = list(ds.frames())
+    assert len(frames) == 2
+    l, r, t = frames[1]
+    assert l.shape == (90, 160) and abs(t - 0.1) < 1e-9
+
+
+def test_pnm_fallback(tmp_path):
+    img = (np.arange(120 * 160) % 255).reshape(120, 160).astype(np.uint8)
+    p = tmp_path / "x.pgm"
+    with open(p, "wb") as f:
+        f.write(b"P5\n160 120\n255\n")
+        f.write(img.tobytes())
+    out = datasets._read_pnm(str(p))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_draw_frame_and_map(rng):
+    img = rng.integers(0, 255, (120, 160), dtype=np.uint8)
+    uv = rng.uniform(0, 150, (30, 2)).astype(np.float32)
+    matched = rng.random(30) > 0.5
+    valid = np.ones(30, bool)
+    out = viz.draw_frame(img, uv, matched, valid)
+    assert out.shape == (120, 160, 3)
+    assert (out != np.stack([img] * 3, -1)).any()  # something was drawn
+
+    mp = rng.normal(size=(200, 3)).astype(np.float32) * 5
+    mp_valid = np.ones(200, bool)
+    kf = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    kf[:, 2, 3] = np.arange(4)
+    m = viz.render_map_topdown(mp, mp_valid, kf, np.ones(4, bool), np.eye(4))
+    assert m.shape == (800, 800, 3)
+    assert (m != 255).any()
+
+
+def test_settings_yaml_roundtrip(tmp_path):
+    yaml = """%YAML:1.0
+Camera.fx: 718.856
+Camera.fy: 718.856
+Camera.cx: 607.1928
+Camera.cy: 185.2157
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.bf: 386.1448
+Camera.fps: 10.0
+Camera.RGB: 1
+ThDepth: 35.0
+ORBextractor.nFeatures: 2000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+    p = tmp_path / "KITTI.yaml"
+    p.write_text(yaml)
+    from my_orb_slam2_tpu.utils.config import Sensor, load_yaml_settings
+
+    cfg = load_yaml_settings(str(p), Sensor.STEREO)
+    assert abs(cfg.camera.fx - 718.856) < 1e-6
+    assert abs(cfg.camera.bf - 386.1448) < 1e-6
+    assert cfg.orb.n_features == 2000
+    assert cfg.camera.th_depth == 35.0

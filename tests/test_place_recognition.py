@@ -168,3 +168,41 @@ def test_pose_graph_closes_loop(rng):
         )))
     )
     assert e_after < 0.3 * e_before, (e_before, e_after, drift)
+
+
+def test_vocab_text_io(tmp_path, rng):
+    """DBoW2-format text vocabulary round trip: a tiny k=2, L=2 tree."""
+    from my_orb_slam2_tpu.utils import vocab_io
+    import jax.numpy as jnp
+
+    lines = ["2 2 0 0"]
+    # A properly clustered tree: leaves under node 1 are near its center,
+    # leaves under node 2 near that center (tree descent requires internal
+    # centers to represent their subtree, as real k-means training gives).
+    A = rand_desc(rng, 1)[0]
+    B = rand_desc(rng, 1)[0]
+    descs = np.stack([
+        A, B,
+        A, flip_bits(rng, A[None], 3)[0],
+        B, flip_bits(rng, B[None], 3)[0],
+    ])
+    byte_view = descs.view(np.uint8).reshape(6, 32)
+    # nodes 1,2 children of root; nodes 3,4 children of 1; 5,6 children of 2
+    parents = [0, 0, 1, 1, 2, 2]
+    for i, p in enumerate(parents):
+        d = " ".join(str(int(b)) for b in byte_view[i])
+        lines.append(f"{p} 0 {d} 1.0")
+    path = tmp_path / "voc.txt"
+    path.write_text("\n".join(lines))
+    voc = vocab_io.load_dbow2_text(str(path))
+    assert voc.k == 2 and voc.depth == 2
+    assert voc.n_words == 4  # 4 leaves
+    # Descend: a leaf's own descriptor must map to itself (distance 0).
+    w = np.asarray(voc.words(jnp.asarray(descs[2:6])))
+    assert len(np.unique(w)) == 4, w
+    # packed round trip
+    p2 = tmp_path / "voc.npz"
+    vocab_io.save_packed(voc, str(p2))
+    voc2 = vocab_io.load_packed(str(p2))
+    w2 = np.asarray(voc2.words(jnp.asarray(descs[2:6])))
+    np.testing.assert_array_equal(w, w2)
