@@ -99,6 +99,7 @@ def main():
 
     factory = FrameFactory(cfg)
     tracker = Tracker(cfg, factory.capacity)
+    tracker.pipelined = True  # hide the per-frame readback RTT
 
     # Pipelined loop: dispatch the next frame's front-end before consuming
     # the current frame's tracking result — the async-dispatch analog of

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from my_orb_slam2_tpu.ops.frontend import OrbExtractor
+from my_orb_slam2_tpu.ops.frontend import GAP, OrbExtractor
 from my_orb_slam2_tpu.ops import stereo as stereo_ops
 from my_orb_slam2_tpu.utils.config import SlamConfig
 
@@ -63,8 +63,12 @@ class FrameFactory:
     def _build_stereo_impl(self, imgL, imgR):
         cam = self.cfg.camera
         ex = self.extractor
-        kpsL, atlasL, _ = ex._extract_impl(imgL)
-        kpsR, atlasR, _ = ex._extract_impl(imgR)
+        # Batch the two extractions: one vmapped program over the stacked
+        # pair halves dispatch overhead and doubles arithmetic intensity.
+        kps2, atlas2 = jax.vmap(ex._extract_impl)(jnp.stack([imgL, imgR]))
+        kpsL = jax.tree.map(lambda x: x[0], kps2)
+        kpsR = jax.tree.map(lambda x: x[1], kps2)
+        atlasL, atlasR = atlas2[0], atlas2[1]
         u_right, depth = stereo_ops.match_stereo(
             kpsL.uv,
             kpsL.uv_level,
@@ -84,6 +88,7 @@ class FrameFactory:
             min_d=0.0,
             max_d=cam.fx,
             bf=cam.bf,
+            col_offset=GAP,  # atlas column margin
         )
         uv = self._undistort(kpsL.uv)
         return FrameData(
@@ -98,7 +103,7 @@ class FrameFactory:
 
     def _build_rgbd_impl(self, img, depth_map):
         cam = self.cfg.camera
-        kps, _, _ = self.extractor._extract_impl(img)
+        kps, _ = self.extractor._extract_impl(img)
         u_right, depth = stereo_ops.depth_to_uright(
             kps.uv, kps.valid, depth_map, cam.depth_map_factor, cam.bf
         )
@@ -109,7 +114,7 @@ class FrameFactory:
         )
 
     def _build_mono_impl(self, img):
-        kps, _, _ = self.extractor._extract_impl(img)
+        kps, _ = self.extractor._extract_impl(img)
         n = kps.uv.shape[0]
         uv = self._undistort(kps.uv)
         return FrameData(

@@ -124,6 +124,12 @@ class SlamSystem:
                 tr.last_reloc_frame_id = tr.frame_id
                 tr._ref_pose_host = np.asarray(tr.map.kf_Tcw[kf])
         info = tr.track(frame, timestamp)
+        if tr.needs_reset:
+            # Lost within the first keyframes: restart from scratch
+            # (reference src/Tracking.cc:519-527 "Track lost soon after
+            # initialisation, reseting...").
+            self.reset()
+            info["reset"] = True
         info["track_ms"] = (time.perf_counter() - t0) * 1000.0
         self.timing.append(info["track_ms"])
         return info

@@ -250,32 +250,38 @@ def track_local_map(
     # Predicted stereo right-u for consistency gating.
     ur_p = uv_p[:, 0] - cam.bf / jnp.where(z_p > 1e-6, z_p, 1e9)
 
-    kp_taken = jnp.zeros((N,), bool).at[jnp.arange(N)].set(False)
-    # keypoints already bound via cur_mp
     kp_taken = cur_mp >= 0
 
+    # Compact the candidate set: only in-frustum local points enter the
+    # (candidates x keypoints) Hamming/window search. The frustum pass runs
+    # over all MP rows (cheap elementwise), but the quadratic search drops
+    # from MP x N to MAXC x N.
+    MAXC = min(4096, MP)
+    cand = jnp.nonzero(in_frustum, size=MAXC, fill_value=MP)[0]
+    cand_ok = cand < MP
+    cs = jnp.clip(cand, 0, MP - 1)
     idx, ok, dist = matching.search_by_projection(
-        uv_p,
-        pred_level,
-        in_frustum,
-        state.mp_desc,
-        radius,
+        uv_p[cs],
+        pred_level[cs],
+        cand_ok,
+        state.mp_desc[cs],
+        radius[cs],
         frame.uv,
         frame.octave,
         frame.valid,
         frame.desc,
         kp_ur=frame.ur,
-        pred_ur=ur_p,
-        level_lo=pred_level - 1,
-        level_hi=pred_level,
+        pred_ur=ur_p[cs],
+        level_lo=pred_level[cs] - 1,
+        level_hi=pred_level[cs],
         max_dist=float(cfg.matcher.th_high),
         ratio=0.8,
         kp_taken=kp_taken,
     )
-    # new assignments: keypoint idx[p] observes point p
+    # new assignments: keypoint idx[c] observes point cand[c]
     add_mp = jnp.full((N,), INVALID, jnp.int32).at[
         jnp.where(ok, idx, N - 1)
-    ].max(jnp.where(ok, jnp.arange(MP), INVALID), mode="drop")
+    ].max(jnp.where(ok, cs, INVALID), mode="drop")
     cur_mp2 = jnp.where(cur_mp >= 0, cur_mp, add_mp)
 
     # --- pose optimization on the full set --------------------------------
@@ -500,6 +506,15 @@ class Tracker:
         self.trajectory = []
         self.kf_counter = 0
         self.only_tracking = False  # localization mode (no KF insertion)
+        self.needs_reset = False  # lost-near-init auto-reset signal
+        # Pipelined mode: the per-frame device->host readback of frame i is
+        # resolved at the START of frame i+1 (it completes during the
+        # inter-frame gap), so the tunnel round-trip leaves the critical
+        # path. The async-dispatch analog of the reference's decoupled
+        # Tracking thread. Enabled by callers that stream frames (bench,
+        # dataset drivers); the sync path remains the default.
+        self.pipelined = False
+        self._pending = None  # (frame, ts, frame_id, cur_mp_dev, packed_dev)
 
     # -- initialization ----------------------------------------------------
 
@@ -534,8 +549,16 @@ class Tracker:
     # -- per-frame ---------------------------------------------------------
 
     def track(self, frame: FrameData, timestamp: float) -> dict:
-        """Process one frame; returns dict with pose + status scalars."""
+        """Process one frame; returns dict with pose + status scalars.
+
+        In pipelined mode the heavy readback of the PREVIOUS frame is
+        resolved first (it completed during the inter-frame gap), then this
+        frame's tracking is dispatched without blocking; the returned pose
+        is the freshest resolved one (one frame of latency).
+        """
         info = {"state": self.state, "kf": False}
+        if self.pipelined and self._pending is not None:
+            info = self._resolve_pending()
         if self.state == TrackingState.NOT_INITIALIZED:
             if self.cfg.camera.bf > 0:
                 ok = self.initialize_stereo(frame, timestamp)
@@ -570,6 +593,21 @@ class Tracker:
             self.Tcw, vel.astype(np.float32), has_vel,
             np.int32(self.ref_kf), np.int32(min_obs),
         )
+        if self.pipelined:
+            try:
+                packed_dev.copy_to_host_async()
+            except Exception:
+                pass
+            # Provisional pose/assignment: the motion-model prediction; the
+            # exact result lands when the readback resolves next frame.
+            self.last_frame = frame
+            self.last_mp = cur_mp
+            self._pending = (frame, timestamp, self.frame_id, cur_mp, packed_dev)
+            self.frame_id += 1
+            info.setdefault("Tcw", self.Tcw.copy())
+            info["state"] = self.state
+            return info
+
         packed = np.asarray(packed_dev)  # single per-frame readback
         Tcw_dev = packed[:16].reshape(4, 4)
         stats = packed[16:24]
@@ -586,6 +624,10 @@ class Tracker:
         )
         if stage1_inl < 10 or n_inliers < min_inl:
             self.state = TrackingState.LOST
+            # Lost soon after initialization: the map is unreliable — signal
+            # a full system reset (reference src/Tracking.cc:519-527).
+            if self.n_kf <= 5:
+                self.needs_reset = True
             info["state"] = self.state
             self._log_pose(timestamp)
             self.frame_id += 1
@@ -623,7 +665,58 @@ class Tracker:
         info["state"] = self.state
         return info
 
-    def _need_new_keyframe(self, stats) -> bool:
+    def _resolve_pending(self) -> dict:
+        """Pipelined mode: consume the previous frame's readback and run the
+        host-side epilogue (state transitions, velocity, KF insertion)."""
+        frame, ts, fid, cur_mp, packed_dev = self._pending
+        self._pending = None
+        info = {"state": self.state, "kf": False}
+        packed = np.asarray(packed_dev)
+        Tcw_dev = packed[:16].reshape(4, 4)
+        stats = packed[16:24]
+        self._ref_pose_host = packed[24:40].reshape(4, 4)
+        n_inliers = int(stats[0])
+        stage1_inl = int(stats[6])
+        info["motion_inliers" if stats[7] else "refkf_inliers"] = stage1_inl
+        info["localmap_inliers"] = n_inliers
+        recently_reloc = fid - self.last_reloc_frame_id < int(self.cfg.camera.fps)
+        min_inl = (
+            self.cfg.tracking.min_localmap_inliers_after_reloc
+            if recently_reloc
+            else self.cfg.tracking.min_localmap_inliers
+        )
+        if stage1_inl < 10 or n_inliers < min_inl:
+            self.state = TrackingState.LOST
+            if self.n_kf <= 5:
+                self.needs_reset = True
+            info["state"] = self.state
+            self._log_pose(ts, frame_id=fid)
+            info["Tcw"] = self.Tcw.copy()
+            return info
+        Tcw_new = Tcw_dev.astype(np.float32)
+        self.velocity = Tcw_new @ np.linalg.inv(self.Tcw)
+        self.Tcw = Tcw_new
+        self.ref_kf = int(stats[4])
+        if self._need_new_keyframe(stats, frame_id=fid):
+            self.map, kf_id = insert_keyframe_with_points(
+                self.cfg, self.map, frame, Tcw_new, cur_mp,
+                np.int32(fid), np.float32(ts),
+            )
+            self.n_kf = int(self.map.n_kf)
+            self.last_kf_frame_id = fid
+            self.ref_kf = int(kf_id)
+            self._ref_pose_host = Tcw_new
+            self.kf_counter += 1
+            info["kf"] = True
+            self.last_mp = self.map.kf_mp[kf_id]
+            if self.local_mapper is not None:
+                self.map = self.local_mapper.process(self.map, int(kf_id))
+        self._log_pose(ts, frame_id=fid)
+        info["Tcw"] = self.Tcw.copy()
+        info["state"] = self.state
+        return info
+
+    def _need_new_keyframe(self, stats, frame_id=None) -> bool:
         """Reference NeedNewKeyFrame conditions (src/Tracking.cc:1049-1140)."""
         if self.only_tracking:  # localization mode (src/Tracking.cc:1051)
             return False
@@ -633,7 +726,9 @@ class Tracker:
         tracked_close = int(stats[2])
         nontracked_close = int(stats[3])
         n_kfs = self.n_kf
-        frames_since_kf = self.frame_id - self.last_kf_frame_id
+        frames_since_kf = (
+            frame_id if frame_id is not None else self.frame_id
+        ) - self.last_kf_frame_id
 
         th_ref = 0.75 if cfg.camera.bf > 0 else 0.9
         if n_kfs <= 2:
@@ -647,14 +742,20 @@ class Tracker:
             return False
         return bool((c1a or c1b or c1c) and c2)
 
-    def _log_pose(self, timestamp: float):
+    def _log_pose(self, timestamp: float, frame_id=None):
         lost = self.state != TrackingState.OK
         T_ref = getattr(self, "_ref_pose_host", None)
         if T_ref is None:
             T_ref = self.Tcw  # first frames: ref == self
         T_rel = self.Tcw @ np.linalg.inv(T_ref)
         self.trajectory.append(
-            (self.frame_id, timestamp, self.ref_kf, T_rel.astype(np.float32), lost)
+            (
+                frame_id if frame_id is not None else self.frame_id,
+                timestamp,
+                self.ref_kf,
+                T_rel.astype(np.float32),
+                lost,
+            )
         )
 
     def trajectory_poses(self) -> list:

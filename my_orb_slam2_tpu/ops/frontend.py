@@ -216,22 +216,28 @@ class OrbExtractor:
                 )
             )
             off += h + GAP
-        # Round atlas height up to a lane-friendly multiple.
+        # Round atlas height up to a lane-friendly multiple. Columns get a
+        # GAP margin on both sides so patch slices (radius PATCH_R, which
+        # exceeds the EDGE detection margin by blur radius) stay in-bounds
+        # with reflected-border content.
         self.atlas_h = ((off + 7) // 8) * 8
-        self.atlas_w = width
+        self.atlas_w = width + 2 * GAP
         self.capacity = ((sum(q.quota for q in self.levels) + 127) // 128) * 128
         self.pattern = jnp.asarray(_brief_pattern())  # (256, 4)
-        # Patch geometry: one (PATCH, PATCH) slice per keypoint serves both
-        # the orientation moments (circle radius 15) and the rotated BRIEF
-        # samples (pattern radius 13 * sqrt2 ~= 18.4 <= PATCH_R).
-        self.PATCH_R = 18
-        self.PATCH = 2 * self.PATCH_R + 2  # 38 (even: friendlier layout)
+        # Patch geometry: one raw (PATCH, PATCH) slice per keypoint serves
+        # BOTH the orientation moments (circle radius 15) and the rotated
+        # BRIEF samples. The 7x7 sigma=2 Gaussian blur that BRIEF reads
+        # through is LINEAR, so it is folded into the selection matrix D
+        # (each +-1 endpoint becomes a +-blur-kernel stamp): no blurred
+        # atlas, no second gather. Required patch radius = pattern radius
+        # 13 * sqrt2 (~18.4 -> 18) + blur radius 3 = 21.
+        self.PATCH_R = 21
+        self.PATCH = 2 * self.PATCH_R + 2  # 44
         P2 = self.PATCH * self.PATCH
         r = cfg.half_patch_size
         yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
         circ = (xx * xx + yy * yy) <= r * r
-        # Moment matrix: patch_flat @ M -> (m10, m01). Circle embedded in the
-        # PATCH x PATCH window centered at (PATCH_R, PATCH_R).
+        # Moment matrix: patch_flat @ M -> (m10, m01).
         M = np.zeros((P2, 2), np.float32)
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
@@ -240,13 +246,15 @@ class OrbExtractor:
                     M[f, 0] = dx
                     M[f, 1] = dy
         self.moment_M = jnp.asarray(M)
-        # BRIEF-as-matmul: per quantized angle bin a, column (a*256+j) of D
-        # holds +1 at the rotated second endpoint and -1 at the first, so
-        # bit_j = (patch_flat @ D[:, a*256+j]) > 0. One MXU matmul computes
-        # all bins; each keypoint then selects its bin's 256-block.
+        # Blur-folded BRIEF-as-matmul: bit_j = (raw_patch @ D[:, a*256+j])>0
+        # where column (a*256+j) carries +blur2d stamped at the rotated
+        # second endpoint and -blur2d at the first.
         self.N_ANGLE_BINS = 64
         pat = _brief_pattern().astype(np.float64)
+        k1d = _gauss_kernel_1d(7, 2.0).astype(np.float64)
+        blur2d = np.outer(k1d, k1d)  # (7, 7)
         D = np.zeros((P2, self.N_ANGLE_BINS * 256), np.float32)
+        cols = np.arange(256)
         for a in range(self.N_ANGLE_BINS):
             th = 2.0 * np.pi * a / self.N_ANGLE_BINS
             ca, sa = np.cos(th), np.sin(th)
@@ -254,11 +262,13 @@ class OrbExtractor:
             y1 = np.round(pat[:, 0] * sa + pat[:, 1] * ca).astype(int)
             x2 = np.round(pat[:, 2] * ca - pat[:, 3] * sa).astype(int)
             y2 = np.round(pat[:, 2] * sa + pat[:, 3] * ca).astype(int)
-            for j in range(256):
-                f1 = (y1[j] + self.PATCH_R) * self.PATCH + (x1[j] + self.PATCH_R)
-                f2 = (y2[j] + self.PATCH_R) * self.PATCH + (x2[j] + self.PATCH_R)
-                D[f1, a * 256 + j] -= 1.0
-                D[f2, a * 256 + j] += 1.0
+            for dy in range(-3, 4):
+                for dx in range(-3, 4):
+                    wgt = blur2d[dy + 3, dx + 3]
+                    f1 = (y1 + dy + self.PATCH_R) * self.PATCH + (x1 + dx + self.PATCH_R)
+                    f2 = (y2 + dy + self.PATCH_R) * self.PATCH + (x2 + dx + self.PATCH_R)
+                    np.add.at(D, (f2, a * 256 + cols), wgt)
+                    np.add.at(D, (f1, a * 256 + cols), -wgt)
         self.desc_D = jnp.asarray(D, jnp.bfloat16)
         self.scale_factors = jnp.asarray([lv.scale for lv in self.levels], jnp.float32)
         self.level_offsets = jnp.asarray([lv.atlas_off for lv in self.levels], jnp.int32)
@@ -273,19 +283,21 @@ class OrbExtractor:
         written into the gap (so blur near level edges behaves like
         BORDER_REFLECT, matching the reference's border handling)."""
         atlas = jnp.zeros((self.atlas_h, self.atlas_w), jnp.float32)
-        cur = img
+        G = GAP
         for l, spec in enumerate(self.levels):
-            if l > 0:
-                cur = jax.image.resize(cur, (spec.h, spec.w), method="linear")
+            # Each level resizes directly from level 0 (independent ops the
+            # compiler can overlap; avoids the serial resize chain and
+            # compounding interpolation of the reference's pyramid).
+            cur = img if l == 0 else jax.image.resize(img, (spec.h, spec.w), method="linear")
             o = spec.atlas_off
-            atlas = atlas.at[o : o + spec.h, : spec.w].set(cur)
-            # 3px reflected border in the gap rows / right columns.
-            atlas = atlas.at[o - 3 : o, : spec.w].set(cur[1:4][::-1])
-            atlas = atlas.at[o + spec.h : o + spec.h + 3, : spec.w].set(cur[-4:-1][::-1])
-            if spec.w + 3 <= self.atlas_w:
-                atlas = atlas.at[o : o + spec.h, spec.w : spec.w + 3].set(
-                    cur[:, -4:-1][:, ::-1]
-                )
+            atlas = atlas.at[o : o + spec.h, G : G + spec.w].set(cur)
+            # 3px reflected borders into the gaps (rows and columns).
+            atlas = atlas.at[o - 3 : o, G : G + spec.w].set(cur[1:4][::-1])
+            atlas = atlas.at[o + spec.h : o + spec.h + 3, G : G + spec.w].set(cur[-4:-1][::-1])
+            atlas = atlas.at[o : o + spec.h, G - 3 : G].set(cur[:, 1:4][:, ::-1])
+            atlas = atlas.at[o : o + spec.h, G + spec.w : G + spec.w + 3].set(
+                cur[:, -4:-1][:, ::-1]
+            )
         return atlas
 
     # -- per level detection ----------------------------------------------
@@ -296,7 +308,9 @@ class OrbExtractor:
 
         Returns (xy (q, 2) int32 level coords, resp (q,), valid (q,)).
         """
-        score = score_atlas[spec.atlas_off : spec.atlas_off + spec.h, : spec.w]
+        score = score_atlas[
+            spec.atlas_off : spec.atlas_off + spec.h, GAP : GAP + spec.w
+        ]
         h, w = spec.h, spec.w
         ys = jnp.arange(h)[:, None]
         xs = jnp.arange(w)[None, :]
@@ -371,7 +385,6 @@ class OrbExtractor:
         """
         img = image.astype(jnp.float32)
         atlas = self.build_atlas(img)
-        blurred = blur_shift_add(atlas)
         # FAST + NMS once over the whole atlas (gap rows carry reflected
         # borders, so level-edge responses behave like per-level reflect
         # padding; the EDGE detection margin excludes them regardless).
@@ -394,12 +407,12 @@ class OrbExtractor:
         valid = jnp.concatenate(valids)
 
         off = jnp.take(self.level_offsets, octv)
-        ax = x
+        ax = x + GAP
         ay = y + off
+        # ONE raw-patch gather feeds both moments and (blur-folded) BRIEF.
         raw_patches = self._gather_patches(atlas, ax, ay)
         ang = self._orientation_from_patches(raw_patches)
-        blur_patches = self._gather_patches(blurred, ax, ay)
-        desc = self._descriptors_from_patches(blur_patches, ang)
+        desc = self._descriptors_from_patches(raw_patches, ang)
         sc = jnp.take(self.scale_factors, octv)
         uv0 = jnp.stack([x.astype(jnp.float32) * sc, y.astype(jnp.float32) * sc], axis=1)
         uv_level = jnp.stack([x, y], axis=1).astype(jnp.float32)
@@ -417,7 +430,7 @@ class OrbExtractor:
             uv=uv0, uv_level=uv_level, response=resp, octave=octv,
             angle=ang, desc=desc, valid=valid,
         )
-        return kps, atlas, blurred
+        return kps, atlas
 
     def __call__(self, image):
         return self._extract(image)

@@ -106,8 +106,8 @@ def pose_optimization(
         Tcw, inlier = state
         use_huber = round_i < (n_rounds - 1)  # final round: plain LSQ
 
-        def lm_iter(it, inner):
-            Tcw, lam = inner
+        def lm_iter(inner):
+            Tcw, lam, it, last_dx = inner
             r, J, z = _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf)
             c2 = _chi2(r, inv_sigma2, is_stereo)
             # Huber IRLS weight on the residual norm (rho'(s) implemented as
@@ -139,9 +139,19 @@ def pose_optimization(
             improved = cost(c2_new, z2) < cost(c2, z)
             Tcw = jnp.where(improved, T_new, Tcw)
             lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-            return (Tcw, lam)
+            dx_norm = jnp.where(improved, jnp.linalg.norm(dx), last_dx)
+            return (Tcw, lam, it + 1, dx_norm)
 
-        Tcw, _ = jax.lax.fori_loop(0, n_iters, lm_iter, (Tcw, jnp.float32(1e-4)))
+        # Early exit when the accepted step stalls (saves the tail of the
+        # serial LM iterations — pure latency on TPU; same fixed point as
+        # the reference's full 10-iteration schedule).
+        def lm_cond(inner):
+            _, _, it, last_dx = inner
+            return (it < n_iters) & (last_dx > 1e-7)
+
+        Tcw, _, _, _ = jax.lax.while_loop(
+            lm_cond, lm_iter, (Tcw, jnp.float32(1e-4), jnp.int32(0), jnp.float32(1.0))
+        )
         # Reclassify inliers for the next round (reference
         # src/Optimizer.cc:390-444: outliers by chi2, depth must be positive).
         r, _, z = _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf)

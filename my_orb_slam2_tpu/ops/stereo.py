@@ -41,6 +41,7 @@ def match_stereo(
     max_d,
     bf,
     th_desc: float = 75.0,
+    col_offset: int = 0,
 ):
     """Row-band stereo correspondence for all left keypoints at once.
 
@@ -87,16 +88,18 @@ def match_stereo(
 
     W11 = 2 * SAD_W + 1
     ayL = vL + off
+    axL = uL + col_offset
+    axR = u0 + col_offset
     winL = jax.vmap(
         lambda y, x: jax.lax.dynamic_slice(atlasL, (y - SAD_W, x - SAD_W), (W11, W11))
-    )(ayL, uL)  # (N, 11, 11)
+    )(ayL, axL)  # (N, 11, 11)
     winL = winL - winL[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
     # Right: one wide window (11, 11 + 2*SLIDE) per keypoint, sliced below.
     wideR = jax.vmap(
         lambda y, x: jax.lax.dynamic_slice(
             atlasR, (y - SAD_W, x - SAD_W - SLIDE), (W11, W11 + 2 * SLIDE)
         )
-    )(ayL, u0)  # (N, 11, 21)
+    )(ayL, axR)  # (N, 11, 21)
     sads = []
     for s in range(2 * SLIDE + 1):
         winR = wideR[:, :, s : s + 2 * SAD_W + 1]

@@ -19,6 +19,28 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+def _stream_images(paths: list[str], n_threads: int = 3, window: int = 12):
+    """Yield decoded grayscale frames, using the native C++ prefetcher when
+    built (decode happens in worker threads ahead of the consumer), else
+    synchronous per-frame decode."""
+    try:
+        from my_orb_slam2_tpu.utils import native_io
+
+        if native_io.available():
+            pf = native_io.NativePrefetcher(paths, n_threads=n_threads, window=window)
+            try:
+                for i in range(len(paths)):
+                    img = pf.get(i)
+                    yield img if img is not None else _imread_gray(paths[i])
+            finally:
+                pf.close()
+            return
+    except Exception:
+        pass
+    for p in paths:
+        yield _imread_gray(p)
+
+
 def _imread_gray(path: str) -> np.ndarray:
     try:
         import cv2
@@ -112,9 +134,11 @@ class TumRgbdDataset:
         return len(self.pairs)
 
     def frames(self) -> Iterator[tuple]:
-        for t, rgb_rel, depth_rel in self.pairs:
-            rgb = _imread_gray(os.path.join(self.dir, rgb_rel))
-            depth = _imread_depth(os.path.join(self.dir, depth_rel))
+        rgb_paths = [os.path.join(self.dir, r) for _, r, _ in self.pairs]
+        depth_paths = [os.path.join(self.dir, d) for _, _, d in self.pairs]
+        for (t, _, _), rgb, depth in zip(
+            self.pairs, _stream_images(rgb_paths), _stream_images(depth_paths)
+        ):
             yield rgb, depth, t
 
 
@@ -137,9 +161,9 @@ class KittiStereoDataset:
         return len(self.left)
 
     def frames(self):
-        for i, name in enumerate(self.left):
-            l = _imread_gray(os.path.join(self.dir, "image_0", name))
-            r = _imread_gray(os.path.join(self.dir, "image_1", name))
+        lp = [os.path.join(self.dir, "image_0", n) for n in self.left]
+        rp = [os.path.join(self.dir, "image_1", n) for n in self.left]
+        for i, (l, r) in enumerate(zip(_stream_images(lp), _stream_images(rp))):
             yield l, r, self.times[i] if i < len(self.times) else i / 10.0
 
 

@@ -113,3 +113,46 @@ ORBextractor.minThFAST: 7
     assert abs(cfg.camera.bf - 386.1448) < 1e-6
     assert cfg.orb.n_features == 2000
     assert cfg.camera.th_depth == 35.0
+
+
+def test_native_decoder_matches_cv2(tmp_path, rng):
+    """C++ PNG/PGM decode must match OpenCV byte-for-byte."""
+    from my_orb_slam2_tpu.utils import native_io
+
+    if not native_io.available():
+        pytest.skip("native library not built")
+    img8 = rng.integers(0, 255, (64, 96), dtype=np.uint8)
+    img16 = rng.integers(0, 65535, (48, 80), dtype=np.uint16)
+    rgb = rng.integers(0, 255, (32, 40, 3), dtype=np.uint8)
+    p8 = str(tmp_path / "g8.png"); cv2.imwrite(p8, img8)
+    p16 = str(tmp_path / "g16.png"); cv2.imwrite(p16, img16)
+    prgb = str(tmp_path / "rgb.png"); cv2.imwrite(prgb, rgb)
+    out8 = native_io.decode_image(p8)
+    np.testing.assert_array_equal(out8, img8)
+    out16 = native_io.decode_image(p16)
+    np.testing.assert_array_equal(out16, img16)
+    outrgb = native_io.decode_image(prgb)
+    assert outrgb.shape == (32, 40)
+    # PGM
+    ppgm = str(tmp_path / "x.pgm"); cv2.imwrite(ppgm, img8)
+    np.testing.assert_array_equal(native_io.decode_image(ppgm), img8)
+
+
+def test_native_prefetcher(tmp_path, rng):
+    from my_orb_slam2_tpu.utils import native_io
+
+    if not native_io.available():
+        pytest.skip("native library not built")
+    imgs = []
+    paths = []
+    for i in range(12):
+        img = rng.integers(0, 255, (60, 80), dtype=np.uint8)
+        p = str(tmp_path / f"f{i:03d}.png")
+        cv2.imwrite(p, img)
+        imgs.append(img)
+        paths.append(p)
+    pf = native_io.NativePrefetcher(paths, n_threads=3, window=4)
+    for i in range(12):
+        out = pf.get(i)
+        np.testing.assert_array_equal(out, imgs[i])
+    pf.close()

@@ -46,7 +46,7 @@ def test_fast_matches_opencv(rng):
 def test_extractor_basic(rng):
     img = make_texture(rng)
     ex = OrbExtractor(OrbConfig(n_features=500), 480, 640)
-    kps, atlas, blurred = ex(jnp.asarray(img))
+    kps, atlas = ex(jnp.asarray(img))
     n = int(kps.valid.sum())
     assert n > 300, n
     uv = np.asarray(kps.uv)[np.asarray(kps.valid)]
@@ -65,8 +65,8 @@ def test_descriptor_rotation_invariance(rng):
     M = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
     img_rot = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR)
     ex = OrbExtractor(OrbConfig(n_features=500), h, w)
-    k1, _, _ = ex(jnp.asarray(img))
-    k2, _, _ = ex(jnp.asarray(img_rot))
+    k1, _ = ex(jnp.asarray(img))
+    k2, _ = ex(jnp.asarray(img_rot))
     # Ground-truth correspondence by rotating k1 positions.
     uv1 = np.asarray(k1.uv)
     uv1_h = np.concatenate([uv1, np.ones((len(uv1), 1))], axis=1)
@@ -92,7 +92,7 @@ def test_descriptor_rotation_invariance(rng):
 def test_descriptor_distinctiveness(rng):
     img = make_texture(rng)
     ex = OrbExtractor(OrbConfig(n_features=500), 480, 640)
-    kps, _, _ = ex(jnp.asarray(img))
+    kps, _ = ex(jnp.asarray(img))
     v = np.asarray(kps.valid)
     d = np.asarray(hamming_distance(kps.desc, kps.desc)).astype(float)
     d_valid = d[np.ix_(v, v)]

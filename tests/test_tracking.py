@@ -80,3 +80,27 @@ def test_tracking_recovers_scale_consistency():
     est_t = np.linalg.norm(poses_out[-1][2][:3, 3] - poses_out[0][2][:3, 3])
     gt_t = np.linalg.norm(poses[-1][:3, 3] - poses[0][:3, 3])
     assert abs(est_t - gt_t) / gt_t < 0.05
+
+
+def test_pipelined_mode_matches_sync():
+    """Pipelined tracking (deferred readback) must produce an equally good
+    trajectory — same math, one frame of decision latency."""
+    cfg = small_cfg()
+    world = SyntheticWorld(cfg, n_landmarks=4000, seed=2)
+    poses = world.circular_trajectory(24, forward_per_frame=0.08)
+
+    def run(pipelined):
+        tracker = Tracker(cfg, CAPACITY)
+        tracker.pipelined = pipelined
+        for i, Tcw in enumerate(poses):
+            frame, _ = world.observe(Tcw, CAPACITY, seed=100 + i)
+            info = tracker.track(frame, i * 0.033)
+            assert info["state"] == TrackingState.OK, (pipelined, i, info)
+        traj = tracker.trajectory_poses()
+        return np.stack([T for _, _, T, lost in traj if not lost])
+
+    est_sync = run(False)
+    est_pipe = run(True)
+    a_sync = ate_rmse(est_sync, poses[: len(est_sync)])
+    a_pipe = ate_rmse(est_pipe, poses[: len(est_pipe)])
+    assert a_pipe < max(2 * a_sync, 0.05), (a_sync, a_pipe)
