@@ -573,6 +573,54 @@ def extract_local_ba(
     return prob, aux
 
 
+def _refresh_distinctive_descriptors(state: ms.MapState, aux, final_mask, max_obs_per_pt: int = 8):
+    """Min-median-Hamming representative descriptor per local point
+    (reference MapPoint::ComputeDistinctiveDescriptors,
+    src/MapPoint.cc:252-318), batched over the local-BA observation list:
+    per point, gather up to `max_obs_per_pt` observation descriptors, pick
+    the one minimizing the median distance to the others."""
+    MP = state.mp_pos.shape[0]
+    P = aux["pt_ids"].shape[0]
+    K = max_obs_per_pt
+    obs_pt = jnp.where(final_mask, aux["obs_pt_local"], P)  # (O,) local idx
+    # Rank of each observation within its point (first K kept).
+    order = jnp.argsort(obs_pt)
+    sorted_pt = obs_pt[order]
+    O = obs_pt.shape[0]
+    first_pos = jnp.full((P + 1,), O, jnp.int32).at[sorted_pt].min(
+        jnp.arange(O, dtype=jnp.int32)
+    )
+    rank = jnp.arange(O, dtype=jnp.int32) - jnp.take(first_pos, sorted_pt)
+    desc_sorted = state.kf_desc[aux["obs_kf"][order], aux["obs_slot"][order]]  # (O, 8)
+    keep = (rank < K) & (sorted_pt < P)
+    table = jnp.zeros((P + 1, K, 8), jnp.uint32).at[
+        jnp.where(keep, sorted_pt, P), jnp.where(keep, rank, 0)
+    ].set(desc_sorted, mode="drop")[:P]
+    cnt = jnp.zeros((P + 1,), jnp.int32).at[jnp.where(keep, sorted_pt, P)].add(1)[:P]
+    # Pairwise Hamming within each point's observation set.
+    x = jnp.bitwise_xor(table[:, :, None, :], table[:, None, :, :])
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)  # (P,K,K)
+    col_ok = (jnp.arange(K)[None, :] < cnt[:, None])  # (P, K)
+    big = 1e9
+    d = jnp.where(col_ok[:, None, :], d, big)
+    # Median over valid columns per row: sort and index (cnt-1)//2.
+    d_sorted = jnp.sort(d, axis=2)
+    med_idx = jnp.clip((cnt - 1) // 2, 0, K - 1)
+    med = jnp.take_along_axis(
+        d_sorted, med_idx[:, None, None].repeat(K, 1), axis=2
+    )[:, :, 0]  # (P, K)
+    med = jnp.where(col_ok, med, big)
+    best = jnp.argmin(med, axis=1)  # (P,)
+    new_desc = jnp.take_along_axis(table, best[:, None, None].repeat(8, 2), axis=1)[:, 0, :]
+    upd = (cnt >= 2) & (aux["pt_ids"] < MP)
+    tgt = jnp.where(upd, aux["pt_ids"], MP)
+    return state._replace(
+        mp_desc=state.mp_desc.at[jnp.clip(tgt, 0, MP - 1)].set(
+            jnp.where(upd[:, None], new_desc, state.mp_desc[jnp.clip(tgt, 0, MP - 1)])
+        )
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def writeback_local_ba(cfg: SlamConfig, state: ms.MapState, prob: ba.BAProblem, aux, final_mask):
     """Write optimized poses/points back into the map and erase outlier
@@ -598,6 +646,8 @@ def writeback_local_ba(cfg: SlamConfig, state: ms.MapState, prob: ba.BAProblem, 
     state = ms.refresh_covisibility(
         state, jnp.where(aux["cam_ok"], aux["cam_ids"], -1)
     )
+    aux2 = dict(aux, obs_pt_local=prob.obs_pt)
+    state = _refresh_distinctive_descriptors(state, aux2, final_mask)
     return state
 
 
