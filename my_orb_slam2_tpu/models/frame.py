@@ -63,12 +63,11 @@ class FrameFactory:
     def _build_stereo_impl(self, imgL, imgR):
         cam = self.cfg.camera
         ex = self.extractor
-        # Batch the two extractions: one vmapped program over the stacked
-        # pair halves dispatch overhead and doubles arithmetic intensity.
-        kps2, atlas2 = jax.vmap(ex._extract_impl)(jnp.stack([imgL, imgR]))
-        kpsL = jax.tree.map(lambda x: x[0], kps2)
-        kpsR = jax.tree.map(lambda x: x[1], kps2)
-        atlasL, atlasR = atlas2[0], atlas2[1]
+        # Two sequential extractions inside ONE jit: measured faster than a
+        # vmapped batch (XLA interleaves the independent programs; vmapping
+        # pessimizes the patch slice-gathers into batched gathers).
+        kpsL, atlasL = ex._extract_impl(imgL)
+        kpsR, atlasR = ex._extract_impl(imgR)
         u_right, depth = stereo_ops.match_stereo(
             kpsL.uv,
             kpsL.uv_level,
