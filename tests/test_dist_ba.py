@@ -29,3 +29,48 @@ def test_distributed_matches_single_chip(rng):
             lie.se3_log(jnp.asarray(np.asarray(out_d.cam_Tcw[c]) @ np.linalg.inv(cams_true[c])))
         )
         assert np.linalg.norm(d) < 0.02, (c, d)
+
+
+def test_distributed_pose_graph_matches_single(rng):
+    """Edge-sharded pose graph == single-device pose graph."""
+    import jax.numpy as jnp
+    from my_orb_slam2_tpu.ops import pose_graph
+    from my_orb_slam2_tpu.parallel.dist_pose_graph import (
+        make_distributed_pose_graph, pad_edges_for_mesh,
+    )
+
+    KF = 16
+    gt, est = [], []
+    T = np.eye(4)
+    step = np.asarray(lie.se3_exp(jnp.asarray([0.0, 0.0, 0.5, 0.0, 2 * np.pi / KF, 0.0])))
+    for k in range(KF):
+        gt.append(np.linalg.inv(T))
+        T = T @ np.linalg.inv(step)
+    gt = np.stack(gt)
+    est = [gt[0]]
+    for k in range(1, KF):
+        rel = gt[k] @ np.linalg.inv(gt[k - 1])
+        noise = np.asarray(lie.se3_exp(jnp.asarray(rng.normal(size=6) * 0.01)))
+        est.append(rel @ noise @ est[k - 1])
+    est = np.stack(est)
+    ei = list(range(KF - 1)) + [KF - 1]
+    ej = list(range(1, KF)) + [0]
+    meas = [
+        (est[b] @ np.linalg.inv(est[a])) if (b == a + 1) else (gt[b] @ np.linalg.inv(gt[a]))
+        for a, b in zip(ei, ej)
+    ]
+    args = (
+        jnp.asarray(est),
+        jnp.ones(KF, bool),
+        jnp.zeros(KF, bool).at[0].set(True),
+        jnp.asarray(ei, jnp.int32),
+        jnp.asarray(ej, jnp.int32),
+        jnp.asarray(np.stack(meas)),
+        jnp.ones(len(ei), bool),
+    )
+    single = pose_graph.optimize_pose_graph(*args, n_iters=15, fix_scale=True)
+    mesh = jax.make_mesh((8,), ("edges",))
+    pe = pad_edges_for_mesh(*args[3:], 8)
+    dist = make_distributed_pose_graph(mesh)
+    multi = dist(args[0], args[1], args[2], *pe, n_iters=15, fix_scale=True)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi), atol=2e-3)
