@@ -159,6 +159,17 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= neigh, score, 0.0)
 
 
+def fast_nms(img: jnp.ndarray, threshold: float, arc: int = 9) -> jnp.ndarray:
+    """Dense FAST V-score + 3x3 NMS. On TPU this runs the fused Pallas
+    kernel (ops/fast_pallas.py, ~4x faster, bit-exact); the XLA formulation
+    remains the CPU/test path."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from my_orb_slam2_tpu.ops.fast_pallas import fast_nms_pallas
+
+        return fast_nms_pallas(img, threshold, arc)
+    return nms3x3(fast_score_map(img, threshold, arc))
+
+
 class LevelSpec(NamedTuple):
     h: int
     w: int
@@ -388,9 +399,7 @@ class OrbExtractor:
         # FAST + NMS once over the whole atlas (gap rows carry reflected
         # borders, so level-edge responses behave like per-level reflect
         # padding; the EDGE detection margin excludes them regardless).
-        score_atlas = nms3x3(
-            fast_score_map(atlas, float(self.cfg.min_th_fast), self.cfg.fast_arc)
-        )
+        score_atlas = fast_nms(atlas, float(self.cfg.min_th_fast), self.cfg.fast_arc)
 
         xs, ys, resps, octs, valids = [], [], [], [], []
         for l, spec in enumerate(self.levels):
@@ -436,12 +445,24 @@ class OrbExtractor:
         return self._extract(image)
 
 
+def unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:
+    """Unpack (N, 8) uint32 descriptors to (N, 256) int8 in {-1, +1}."""
+    bits = (desc[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]) & 1
+    return (bits.astype(jnp.int8) * 2 - 1).reshape(desc.shape[0], 256)
+
+
 def hamming_distance(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
     """Pairwise Hamming distance matrix between packed descriptors.
 
     desc1: (N, 8) uint32, desc2: (M, 8) uint32 -> (N, M) int32 in [0, 256].
-    The XOR + popcount formulation of reference
-    ORBmatcher::DescriptorDistance (src/ORBmatcher.cc:1715-1731), batched.
+    Replaces reference ORBmatcher::DescriptorDistance
+    (src/ORBmatcher.cc:1715-1731). Computed on the MXU as an int8 {-1,+1}
+    dot product: hamming = (256 - s1.s2) / 2 — exact, and faster than the
+    VPU xor+popcount over the (N, M, 8) cube for the sizes the matchers use.
     """
-    x = jnp.bitwise_xor(desc1[:, None, :], desc2[None, :, :])
-    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    s1 = unpack_pm1(desc1)
+    s2 = unpack_pm1(desc2)
+    dot = jax.lax.dot_general(
+        s1, s2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (256 - dot) >> 1
