@@ -112,6 +112,21 @@ class SlamSystem:
     def _track(self, frame: FrameData, timestamp: float) -> dict:
         t0 = time.perf_counter()
         tr = self.tracker
+        if tr.state == TrackingState.OK and tr.only_tracking and tr.mb_vo:
+            # Localization-mode VO: the map lost sight of us — run
+            # relocalization alongside VO tracking and let a successful
+            # reloc win (reference src/Tracking.cc:386-421 runs both and
+            # prefers the relocalization result).
+            ok, Tcw, cur_mp, n, kf = self.relocalizer.relocalize(tr.map, self.db, frame)
+            if ok:
+                tr.Tcw = Tcw.astype(np.float32)
+                tr.velocity = None
+                tr.last_frame = frame
+                tr.last_mp = cur_mp
+                tr.ref_kf = kf
+                tr.last_reloc_frame_id = tr.frame_id
+                tr._ref_pose_host = np.asarray(tr.map.kf_Tcw[kf])
+                tr.mb_vo = False
         if tr.state == TrackingState.LOST:
             ok, Tcw, cur_mp, n, kf = self.relocalizer.relocalize(tr.map, self.db, frame)
             if ok:

@@ -40,6 +40,9 @@ class TrackResult(NamedTuple):
     cur_mp: jnp.ndarray  # (N,) map point id per keypoint slot
     n_matches: jnp.ndarray  # () i32 matches used for pose opt
     n_inliers: jnp.ndarray  # () i32 inliers after pose opt
+    n_map: jnp.ndarray  # () i32 inliers that are real map points (== n_inliers
+    # except in localization-mode VO tracking, where temporal anchors also
+    # contribute; reference nmatchesMap src/Tracking.cc:962-983)
 
 
 # ---------------------------------------------------------------------------
@@ -122,27 +125,120 @@ def track_motion(
     )
     # Pose optimization on assigned matches.
     res = _pose_opt_on_assignment(cfg, state, frame, cur_mp, Tcw_pred)
-    return TrackResult(res["Tcw"], res["cur_mp"], jnp.sum(ok), res["n_inliers"])
+    return TrackResult(
+        res["Tcw"], res["cur_mp"], jnp.sum(ok), res["n_inliers"], res["n_inliers"]
+    )
+
+
+def _pose_opt_on_points(cfg: SlamConfig, frame, pts_w, mask, Tcw0):
+    """Pose-optimize the frame against explicit per-keypoint world points."""
+    cam = cfg.camera
+    inv_s2 = 1.0 / jnp.asarray(
+        [cfg.orb.scale_factor ** (2 * l) for l in range(cfg.orb.n_levels)], jnp.float32
+    )[frame.octave]
+    return pose_opt.pose_optimization(
+        Tcw0, pts_w, frame.uv, frame.ur, inv_s2, mask,
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+    )
 
 
 def _pose_opt_on_assignment(cfg: SlamConfig, state, frame, cur_mp, Tcw0):
     """Pose-optimize the frame against its assigned map points; demote
     outlier assignments (reference pattern after every track stage,
     e.g. src/Tracking.cc:960-983)."""
-    cam = cfg.camera
-    MP = state.mp_pos.shape[0]
     lm = jnp.where(cur_mp >= 0, cur_mp, 0)
     mask = (cur_mp >= 0) & frame.valid & jnp.take(state.mp_valid, lm)
     pts_w = jnp.take(state.mp_pos, lm, axis=0)
-    inv_s2 = 1.0 / jnp.asarray(
-        [cfg.orb.scale_factor ** (2 * l) for l in range(cfg.orb.n_levels)], jnp.float32
-    )[frame.octave]
-    res = pose_opt.pose_optimization(
-        Tcw0, pts_w, frame.uv, frame.ur, inv_s2, mask,
-        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-    )
+    res = _pose_opt_on_points(cfg, frame, pts_w, mask, Tcw0)
     cur_mp = jnp.where(res["inliers"], cur_mp, INVALID)
     return {"Tcw": res["Tcw"], "cur_mp": cur_mp, "n_inliers": res["n_inliers"]}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_motion_vo(
+    cfg: SlamConfig,
+    state: ms.MapState,
+    frame: FrameData,
+    last_uv,
+    last_depth,
+    last_desc,
+    last_mp,
+    last_valid,
+    Tcw_last,
+    Tcw_pred,
+):
+    """Localization-mode motion tracking with temporal visual-odometry
+    anchors (reference UpdateLastFrame src/Tracking.cc:849-913: in
+    localization mode, stereo/RGB-D keypoints of the last frame with valid
+    depth but no map point are back-projected into temporary points so the
+    motion model stays anchored when map coverage thins out).
+
+    Temporal anchors contribute residuals to pose optimization but are never
+    written into the map; `n_map` counts inliers that are real map points —
+    the host uses it for the reference's mbVO flag (src/Tracking.cc:375-384).
+    """
+    cam = cfg.camera
+    from my_orb_slam2_tpu.ops.projection import backproject, project_stereo
+
+    lm = jnp.where(last_valid & (last_mp >= 0), last_mp, 0)
+    has_mp = last_valid & (last_mp >= 0) & jnp.take(state.mp_valid, lm)
+    # Temporal anchors: depth-valid last-frame keypoints without a map point.
+    pc = backproject(last_uv, last_depth, cam.fx, cam.fy, cam.cx, cam.cy)
+    Twc_last = lie.se3_inverse(Tcw_last)
+    pw_temp = lie.se3_apply(Twc_last, pc)
+    is_temp = last_valid & (last_depth > 0.0) & ~has_mp
+
+    pts_w = jnp.where(has_mp[:, None], jnp.take(state.mp_pos, lm, axis=0), pw_temp)
+    desc = jnp.where(has_mp[:, None], jnp.take(state.mp_desc, lm, axis=0), last_desc)
+    cand_ok = has_mp | is_temp
+
+    uvr, z = project_stereo(Tcw_pred, pts_w, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    pred_valid = cand_ok & (z > 0.0)
+
+    def run_search(th):
+        radius = th * jnp.ones_like(z)
+        idx, ok, dist = matching.search_by_projection(
+            uvr[:, :2],
+            jnp.zeros_like(z, jnp.int32),
+            pred_valid,
+            desc,
+            radius,
+            frame.uv,
+            frame.octave,
+            frame.valid,
+            frame.desc,
+            kp_ur=frame.ur,
+            pred_ur=uvr[:, 2],
+            level_lo=jnp.zeros_like(z, jnp.int32),
+            level_hi=jnp.full_like(z, cfg.orb.n_levels - 1, dtype=jnp.int32),
+            max_dist=matching.TH_HIGH,
+            ratio=0.9,
+        )
+        return idx, ok
+
+    th0 = 7.0 if cfg.sensor.name == "STEREO" else 15.0
+    idx, ok = run_search(th0)
+    n0 = jnp.sum(ok)
+    idx2, ok2 = run_search(2 * th0)
+    use_wide = n0 < cfg.tracking.min_motion_matches
+    idx = jnp.where(use_wide, idx2, idx)
+    ok = jnp.where(use_wide, ok2, ok)
+
+    # Per-keypoint candidate slot (index into the last frame's arrays).
+    N = frame.uv.shape[0]
+    L = last_uv.shape[0]
+    slot = jnp.full((N,), INVALID, jnp.int32).at[jnp.where(ok, idx, N - 1)].max(
+        jnp.where(ok, jnp.arange(L, dtype=jnp.int32), INVALID), mode="drop"
+    )
+    matched = slot >= 0
+    slot_c = jnp.clip(slot, 0, L - 1)
+    kp_pts = jnp.take(pts_w, slot_c, axis=0)
+    res = _pose_opt_on_points(cfg, frame, kp_pts, matched & frame.valid, Tcw_pred)
+    inl = res["inliers"]
+    slot_has_mp = jnp.take(has_mp, slot_c)
+    cur_mp = jnp.where(inl & slot_has_mp, jnp.take(lm, slot_c), INVALID)
+    n_map = jnp.sum(inl & slot_has_mp)
+    return TrackResult(res["Tcw"], cur_mp, jnp.sum(ok), res["n_inliers"], n_map)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -167,7 +263,9 @@ def track_ref_kf(cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_id, T
     cur_mp = jnp.where(ok, jnp.take(kf_mp, idx), INVALID)
     n_matches = jnp.sum(cur_mp >= 0)
     res = _pose_opt_on_assignment(cfg, state, frame, cur_mp, Tcw0)
-    return TrackResult(res["Tcw"], res["cur_mp"], n_matches, res["n_inliers"])
+    return TrackResult(
+        res["Tcw"], res["cur_mp"], n_matches, res["n_inliers"], res["n_inliers"]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -327,7 +425,9 @@ def track_local_map(
             jnp.sum(local_kf_mask.astype(jnp.int32)),
         ]
     )
-    return state, TrackResult(res["Tcw"], cur_mp_final, jnp.sum(ok), res["n_inliers"]), stats
+    return state, TrackResult(
+        res["Tcw"], cur_mp_final, jnp.sum(ok), res["n_inliers"], res["n_inliers"]
+    ), stats
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +518,7 @@ def _spawn_points_from_frame(cfg, state, frame, Tcw, kf_id, want):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "loc_mode"))
 def track_frame(
     cfg: SlamConfig,
     state: ms.MapState,
@@ -431,13 +531,21 @@ def track_frame(
     has_velocity,
     ref_kf,
     ref_min_obs,
+    last_depth=None,
+    last_desc=None,
+    loc_mode: bool = False,
 ):
     """One fused per-frame tracking step: motion-model tracking with
     reference-keyframe fallback, then local-map tracking — a single device
     dispatch returning (state, Tcw, cur_mp, stats).
 
     stats layout: [lm_inliers, ref_matches, tracked_close, nontracked_close,
-    ref_kf, n_local_kfs, stage1_inliers, used_motion(0/1)].
+    ref_kf, n_local_kfs, stage1_inliers, used_motion(0/1), stage1_map_inliers].
+
+    With `loc_mode` (localization-only, reference mbOnlyTracking) and a
+    depth-capable sensor, motion tracking uses temporal visual-odometry
+    anchors (see `track_motion_vo`); stage1_map_inliers then drives the
+    host's mbVO flag.
 
     This is the latency-critical path: the host fetches `stats` once per
     frame; everything else stays on device (the reference achieves the same
@@ -445,7 +553,13 @@ def track_frame(
     src/System.h:158-159 — our equivalent is one dispatch + one readback).
     """
     Tcw_pred = jnp.where(has_velocity, velocity @ Tcw_last, Tcw_last)
-    res_m = track_motion(cfg, state, frame, last_uv, last_mp, last_valid, Tcw_pred)
+    if loc_mode and cfg.camera.bf > 0:
+        res_m = track_motion_vo(
+            cfg, state, frame, last_uv, last_depth, last_desc,
+            last_mp, last_valid, Tcw_last, Tcw_pred,
+        )
+    else:
+        res_m = track_motion(cfg, state, frame, last_uv, last_mp, last_valid, Tcw_pred)
     motion_ok = has_velocity & (res_m.n_inliers >= 10)
     # Reference-KF fallback only runs when the motion model failed
     # (reference src/Tracking.cc:339-345); lax.cond skips the unused branch.
@@ -460,7 +574,7 @@ def track_frame(
         cfg, state, frame, Tcw1, cur_mp1, ref_min_obs
     )
     stats = jnp.concatenate(
-        [stats6, jnp.stack([stage1_inl, motion_ok.astype(jnp.int32)])]
+        [stats6, jnp.stack([stage1_inl, motion_ok.astype(jnp.int32), res_f.n_map])]
     )
     # Pack pose + stats + reference-KF pose into one f32 vector: a single
     # device->host fetch per frame (each fetch is a full tunnel round-trip).
@@ -506,6 +620,7 @@ class Tracker:
         self.trajectory = []
         self.kf_counter = 0
         self.only_tracking = False  # localization mode (no KF insertion)
+        self.mb_vo = False  # VO mode: few map matches in localization mode
         self.needs_reset = False  # lost-near-init auto-reset signal
         # Pipelined mode: the per-frame device->host readback of frame i is
         # resolved at the START of frame i+1 (it completes during the
@@ -587,11 +702,15 @@ class Tracker:
         min_obs = 2 if self.n_kf <= 2 else 3
         has_vel = self.velocity is not None
         vel = self.velocity if has_vel else np.eye(4, dtype=np.float32)
+        loc_vo = self.only_tracking and self.cfg.camera.bf > 0
         self.map, cur_mp, packed_dev = track_frame(
             self.cfg, self.map, frame,
             self.last_frame.uv, self.last_mp, self.last_frame.valid,
             self.Tcw, vel.astype(np.float32), has_vel,
             np.int32(self.ref_kf), np.int32(min_obs),
+            last_depth=self.last_frame.depth if loc_vo else None,
+            last_desc=self.last_frame.desc if loc_vo else None,
+            loc_mode=loc_vo,
         )
         if self.pipelined:
             try:
@@ -610,8 +729,8 @@ class Tracker:
 
         packed = np.asarray(packed_dev)  # single per-frame readback
         Tcw_dev = packed[:16].reshape(4, 4)
-        stats = packed[16:24]
-        self._ref_pose_host = packed[24:40].reshape(4, 4)
+        stats = packed[16:25]
+        self._ref_pose_host = packed[25:41].reshape(4, 4)
         n_inliers = int(stats[0])
         stage1_inl = int(stats[6])
         info["motion_inliers" if stats[7] else "refkf_inliers"] = stage1_inl
@@ -622,7 +741,8 @@ class Tracker:
             if recently_reloc
             else self.cfg.tracking.min_localmap_inliers
         )
-        if stage1_inl < 10 or n_inliers < min_inl:
+        lost_now = self._lost_check(stats, stage1_inl, n_inliers, min_inl, info)
+        if lost_now:
             self.state = TrackingState.LOST
             # Lost soon after initialization: the map is unreliable — signal
             # a full system reset (reference src/Tracking.cc:519-527).
@@ -673,8 +793,8 @@ class Tracker:
         info = {"state": self.state, "kf": False}
         packed = np.asarray(packed_dev)
         Tcw_dev = packed[:16].reshape(4, 4)
-        stats = packed[16:24]
-        self._ref_pose_host = packed[24:40].reshape(4, 4)
+        stats = packed[16:25]
+        self._ref_pose_host = packed[25:41].reshape(4, 4)
         n_inliers = int(stats[0])
         stage1_inl = int(stats[6])
         info["motion_inliers" if stats[7] else "refkf_inliers"] = stage1_inl
@@ -685,7 +805,8 @@ class Tracker:
             if recently_reloc
             else self.cfg.tracking.min_localmap_inliers
         )
-        if stage1_inl < 10 or n_inliers < min_inl:
+        lost_now = self._lost_check(stats, stage1_inl, n_inliers, min_inl, info)
+        if lost_now:
             self.state = TrackingState.LOST
             if self.n_kf <= 5:
                 self.needs_reset = True
@@ -715,6 +836,26 @@ class Tracker:
         info["Tcw"] = self.Tcw.copy()
         info["state"] = self.state
         return info
+
+    def _lost_check(self, stats, stage1_inl, n_inliers, min_inl, info) -> bool:
+        """Decide OK vs LOST from the packed stats (one place for both the
+        sync and pipelined paths).
+
+        In localization mode, temporal VO inliers count toward the
+        local-map acceptance — in the reference the temporal points live in
+        mvpMapPoints, so TrackLocalMap's mnMatchesInliers includes them
+        (src/Tracking.cc:849-913,1013-1032) — and pure-VO frames (mbVO,
+        <10 map matches) are accepted on raw motion inliers alone
+        (src/Tracking.cc:962-973)."""
+        if not self.only_tracking:
+            return stage1_inl < 10 or n_inliers < min_inl
+        n_map_s1 = int(stats[8])
+        self.mb_vo = n_map_s1 < 10
+        info["vo_mode"] = self.mb_vo
+        if self.mb_vo:
+            return stage1_inl < 20
+        eff_inliers = n_inliers + max(0, stage1_inl - n_map_s1)
+        return stage1_inl < 10 or eff_inliers < min_inl
 
     def _need_new_keyframe(self, stats, frame_id=None) -> bool:
         """Reference NeedNewKeyFrame conditions (src/Tracking.cc:1049-1140)."""

@@ -164,3 +164,50 @@ def test_trajectory_export(tmp_path):
     assert kitti.shape[1] == 12
     kf = np.atleast_2d(np.loadtxt(p_kf))
     assert kf.shape[0] >= 1 and kf.shape[1] == 8
+
+
+def test_localization_vo_mode_unmapped_territory():
+    """Localization-only mode with temporal visual-odometry anchors
+    (reference UpdateLastFrame src/Tracking.cc:849-913 + mbVO
+    src/Tracking.cc:375-384): driving past the mapped region must NOT lose
+    tracking — stereo temporal points keep the motion model anchored while
+    map matches vanish (vo_mode flips on)."""
+    cfg = SlamConfig(
+        sensor=Sensor.STEREO,
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0, th_depth=40.0),
+        capacity=CapacityConfig(max_keyframes=64, max_map_points=16384),
+        tracking=TrackingConfig(min_stereo_init_points=150, max_frames_between_kf=8),
+    )
+    system = SlamSystem(cfg, use_images=False, capacity=CAP, enable_loop_closing=False)
+    # Landmarks surround the camera; the camera maps while driving straight,
+    # then (in localization mode) yaws away into never-mapped directions.
+    world = SyntheticWorld(
+        cfg, n_landmarks=30000, seed=11, extent=(25.0, 6.0, 25.0), depth_range=(-25.0, 25.0)
+    )
+    from my_orb_slam2_tpu.ops import lie as _lie
+    import jax.numpy as _jnp
+
+    poses = [np.eye(4, dtype=np.float32)]
+    Twc = np.eye(4)
+    for i in range(21):
+        yaw = 0.0 if i < 8 else 0.22  # ~12.6 deg/frame once in loc mode
+        adv = np.asarray(_lie.se3_exp(_jnp.asarray([0.0, 0.0, 0.35, 0.0, yaw, 0.0])))
+        Twc = Twc @ adv
+        poses.append(np.linalg.inv(Twc).astype(np.float32))
+    poses = np.stack(poses)
+    for i, Tcw in enumerate(poses[:8]):
+        frame, _ = world.observe(Tcw, CAP, seed=1100 + i)
+        info = system.track_frame_data(frame, i / 10.0)
+        assert info["state"] == TrackingState.OK, (i, info)
+    system.activate_localization_mode()
+    saw_vo = False
+    for i, Tcw in enumerate(poses[8:]):
+        frame, _ = world.observe(Tcw, CAP, seed=1108 + i)
+        info = system.track_frame_data(frame, (8 + i) / 10.0)
+        assert info["state"] == TrackingState.OK, (8 + i, info)
+        saw_vo = saw_vo or info.get("vo_mode", False)
+    assert saw_vo, "never entered VO mode despite leaving the mapped region"
+    assert system.tracker.kf_counter <= 8, "KF inserted in localization mode"
+    # Pose estimate should still follow ground truth (pure VO drift only).
+    err = np.linalg.norm(system.tracker.Tcw[:3, 3] - poses[-1][:3, 3])
+    assert err < 0.6, err
