@@ -156,3 +156,51 @@ def test_native_prefetcher(tmp_path, rng):
         out = pf.get(i)
         np.testing.assert_array_equal(out, imgs[i])
     pf.close()
+
+
+def test_ar_plane_detection_and_overlay():
+    """AR utilities (reference Examples/ROS/ORB_SLAM2/AR/ViewerAR.cc):
+    RANSAC plane fit recovers a known plane among outliers; the cube/grid
+    overlay draws into the image."""
+    from my_orb_slam2_tpu.utils import ar
+
+    rng = np.random.default_rng(0)
+    n_in, n_out = 200, 60
+    # Plane: y = 2 (normal +-e_y), with noise; outliers scattered.
+    pts = np.concatenate([
+        np.stack([
+            rng.uniform(-5, 5, n_in),
+            2.0 + rng.normal(0, 0.005, n_in),
+            rng.uniform(4, 14, n_in),
+        ], axis=1),
+        np.stack([
+            rng.uniform(-5, 5, n_out),
+            rng.uniform(-4, 1.0, n_out),
+            rng.uniform(4, 14, n_out),
+        ], axis=1),
+    ])
+    cam_c = np.zeros(3)
+    plane = ar.detect_plane(pts, cam_c, seed=1)
+    assert plane is not None
+    assert abs(abs(plane.normal[1]) - 1.0) < 0.02, plane.normal
+    # Normal oriented toward the camera (camera is at y=0 < 2 -> -e_y side).
+    assert plane.normal[1] < 0
+    assert plane.n_inliers >= n_in * 0.9
+    assert abs(plane.centroid[1] - 2.0) < 0.05
+    # Plane frame axes orthonormal, z == normal.
+    R = plane.Tpw[:3, :3]
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(R[:, 2], plane.normal, atol=1e-6)
+
+    # Overlay draws pixels.
+    img = np.zeros((480, 640, 3), np.uint8)
+    Tcw = np.eye(4, dtype=np.float32)
+    ar.draw_cube(img, Tcw, plane.Tpw, 0.5, 500.0, 500.0, 320.0, 240.0)
+    ar.draw_plane_grid(img, Tcw, plane.Tpw, 1.0, 5, 500.0, 500.0, 320.0, 240.0)
+    assert (img.any(axis=-1)).sum() > 200, "overlay drew almost nothing"
+
+    # Degenerate input: too few points -> None, no crash.
+    assert ar.detect_plane(pts[:5], cam_c) is None
+    # No dominant plane -> None.
+    scatter = rng.uniform(-5, 5, (120, 3))
+    assert ar.detect_plane(scatter, cam_c, seed=2) is None
