@@ -45,7 +45,20 @@ def render_stereo_pair(world_pts, intensities, Tcw, cam, H, W, rng):
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: bench wall time is dominated by XLA
+    # compiles on a fresh process; cache them across runs.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from my_orb_slam2_tpu.utils.config import (
@@ -100,6 +113,9 @@ def main():
     factory = FrameFactory(cfg)
     tracker = Tracker(cfg, factory.capacity)
     tracker.pipelined = True  # hide the per-frame readback RTT
+    # Depth 3: a readback issued at frame i resolves at i+3, so the tunnel
+    # RTT (~30ms) is amortized to ~RTT/3 of frame-period floor.
+    tracker.pipeline_depth = 3
 
     # Pipelined loop: dispatch the next frame's front-end before consuming
     # the current frame's tracking result — the async-dispatch analog of

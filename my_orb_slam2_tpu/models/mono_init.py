@@ -199,7 +199,7 @@ class MonoInitializer:
             return False
         from my_orb_slam2_tpu.models.tracking import TrackingState
 
-        tracker.Tcw = np.asarray(T1)
+        tracker.reset_motion(np.asarray(T1))
         tracker.state = TrackingState.OK
         tracker.last_frame = frame
         tracker.last_mp = cur_mp

@@ -119,8 +119,7 @@ class SlamSystem:
             # prefers the relocalization result).
             ok, Tcw, cur_mp, n, kf = self.relocalizer.relocalize(tr.map, self.db, frame)
             if ok:
-                tr.Tcw = Tcw.astype(np.float32)
-                tr.velocity = None
+                tr.reset_motion(Tcw)
                 tr.last_frame = frame
                 tr.last_mp = cur_mp
                 tr.ref_kf = kf
@@ -131,8 +130,7 @@ class SlamSystem:
             ok, Tcw, cur_mp, n, kf = self.relocalizer.relocalize(tr.map, self.db, frame)
             if ok:
                 tr.state = TrackingState.OK
-                tr.Tcw = Tcw.astype(np.float32)
-                tr.velocity = None
+                tr.reset_motion(Tcw)
                 tr.last_frame = frame
                 tr.last_mp = cur_mp
                 tr.ref_kf = kf

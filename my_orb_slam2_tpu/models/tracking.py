@@ -527,7 +527,7 @@ def track_frame(
     last_mp,
     last_valid,
     Tcw_last,
-    velocity,
+    Tcw_prev,
     has_velocity,
     ref_kf,
     ref_min_obs,
@@ -551,7 +551,12 @@ def track_frame(
     frame; everything else stays on device (the reference achieves the same
     by running Tracking inside the caller's thread with no copies,
     src/System.h:158-159 — our equivalent is one dispatch + one readback).
+    The velocity model (reference src/Tracking.cc:462-469) is computed HERE
+    from the two previous poses rather than on the host, so the pose chain
+    `Tcw_last`/`Tcw_prev` can stay on device across frames: dispatches then
+    never wait on a device->host round-trip (which costs a full tunnel RTT).
     """
+    velocity = Tcw_last @ lie.se3_inverse(Tcw_prev)
     Tcw_pred = jnp.where(has_velocity, velocity @ Tcw_last, Tcw_last)
     if loc_mode and cfg.camera.bf > 0:
         res_m = track_motion_vo(
@@ -573,6 +578,10 @@ def track_frame(
     state, res_l, stats6 = track_local_map(
         cfg, state, frame, Tcw1, cur_mp1, ref_min_obs
     )
+    # Keep the chained pose rigid: exp-updates preserve (and the velocity
+    # model's transpose-inverse then amplifies) any non-orthogonality of the
+    # initial guess — project back to SO(3) once per frame.
+    res_l = res_l._replace(Tcw=lie.se3_orthonormalize(res_l.Tcw))
     stats = jnp.concatenate(
         [stats6, jnp.stack([stage1_inl, motion_ok.astype(jnp.int32), res_f.n_map])]
     )
@@ -584,7 +593,9 @@ def track_frame(
     packed = jnp.concatenate(
         [res_l.Tcw.reshape(16), stats.astype(jnp.float32), T_ref.reshape(16)]
     )
-    return state, res_l.cur_mp, packed
+    # res_l.Tcw is returned separately as well so the host can chain it into
+    # the next dispatch as a device array without ever reading it back.
+    return state, res_l.cur_mp, packed, res_l.Tcw
 
 
 class TrackingState:
@@ -602,8 +613,14 @@ class Tracker:
         self.capacity = capacity
         self.state = TrackingState.NOT_INITIALIZED
         self.map = ms.init_map_state(cfg, capacity)
-        self.velocity: Optional[np.ndarray] = None
         self.Tcw = np.eye(4, dtype=np.float32)
+        # Pose chain for dispatch: the pose of the last DISPATCHED frame and
+        # the one before it (np or device arrays — in pipelined mode these
+        # are unresolved device values, so dispatching never blocks on the
+        # tunnel RTT). `_chain_prev is None` == "no velocity model yet"
+        # (reference mVelocity empty, src/Tracking.cc:462-469).
+        self._chain_Tcw = self.Tcw
+        self._chain_prev: Optional[np.ndarray] = None
         self.last_frame: Optional[FrameData] = None
         self.last_mp = None
         self.frame_id = 0
@@ -623,13 +640,17 @@ class Tracker:
         self.mb_vo = False  # VO mode: few map matches in localization mode
         self.needs_reset = False  # lost-near-init auto-reset signal
         # Pipelined mode: the per-frame device->host readback of frame i is
-        # resolved at the START of frame i+1 (it completes during the
-        # inter-frame gap), so the tunnel round-trip leaves the critical
-        # path. The async-dispatch analog of the reference's decoupled
-        # Tracking thread. Enabled by callers that stream frames (bench,
-        # dataset drivers); the sync path remains the default.
+        # resolved `pipeline_depth` frames later (it completes during the
+        # intervening frames' host work), so the tunnel round-trip leaves
+        # the critical path entirely. The async-dispatch analog of the
+        # reference's decoupled Tracking thread. Enabled by callers that
+        # stream frames (bench, dataset drivers); the sync path remains the
+        # default. Depth 2 covers one full ~30ms tunnel RTT at 30 fps;
+        # decision latency (KF insertion, LOST detection) lags by the same
+        # amount, exactly like the reference's asynchronous mapping thread.
         self.pipelined = False
-        self._pending = None  # (frame, ts, frame_id, cur_mp_dev, packed_dev)
+        self.pipeline_depth = 2
+        self._pending = []  # FIFO of (frame, ts, frame_id, cur_mp_dev, packed_dev)
 
     # -- initialization ----------------------------------------------------
 
@@ -651,6 +672,7 @@ class Tracker:
         self.last_mp = self.map.kf_mp[kf_id]
         self.last_frame = frame
         self.Tcw = np.eye(4, dtype=np.float32)
+        self.reset_motion()
         self.state = TrackingState.OK
         self.n_kf = int(self.map.n_kf)
         self.ref_kf = int(kf_id)
@@ -661,19 +683,37 @@ class Tracker:
             self.map = self.local_mapper.process(self.map, int(kf_id))
         return True
 
+    # -- motion model ---------------------------------------------------
+
+    def reset_motion(self, Tcw: Optional[np.ndarray] = None):
+        """Clear the velocity model and rebase the dispatch pose chain on a
+        resolved host pose (after init, relocalization, or LOST)."""
+        if Tcw is not None:
+            self.Tcw = np.asarray(Tcw, np.float32)
+        self._chain_Tcw = self.Tcw
+        self._chain_prev = None
+
     # -- per-frame ---------------------------------------------------------
 
     def track(self, frame: FrameData, timestamp: float) -> dict:
         """Process one frame; returns dict with pose + status scalars.
 
-        In pipelined mode the heavy readback of the PREVIOUS frame is
-        resolved first (it completed during the inter-frame gap), then this
-        frame's tracking is dispatched without blocking; the returned pose
-        is the freshest resolved one (one frame of latency).
+        In pipelined mode the readback of frame i is resolved at the start
+        of frame i+pipeline_depth (it completed during the intervening
+        frames), so dispatching never blocks on the tunnel round-trip; the
+        returned pose is the freshest resolved one (pipeline_depth frames of
+        latency), exactly as the reference's consumers see poses one thread
+        hop late.
         """
         info = {"state": self.state, "kf": False}
-        if self.pipelined and self._pending is not None:
-            info = self._resolve_pending()
+        if self.pipelined:
+            while self._pending and (
+                len(self._pending) >= max(1, self.pipeline_depth)
+                or self.state != TrackingState.OK
+            ):
+                info = self._resolve_one()
+                if self.state != TrackingState.OK:
+                    break
         if self.state == TrackingState.NOT_INITIALIZED:
             if self.cfg.camera.bf > 0:
                 ok = self.initialize_stereo(frame, timestamp)
@@ -700,99 +740,50 @@ class Tracker:
             return info
 
         min_obs = 2 if self.n_kf <= 2 else 3
-        has_vel = self.velocity is not None
-        vel = self.velocity if has_vel else np.eye(4, dtype=np.float32)
+        has_vel = self._chain_prev is not None
+        prev = self._chain_prev if has_vel else np.eye(4, dtype=np.float32)
         loc_vo = self.only_tracking and self.cfg.camera.bf > 0
-        self.map, cur_mp, packed_dev = track_frame(
+        self.map, cur_mp, packed_dev, Tcw_dev = track_frame(
             self.cfg, self.map, frame,
             self.last_frame.uv, self.last_mp, self.last_frame.valid,
-            self.Tcw, vel.astype(np.float32), has_vel,
+            self._chain_Tcw, prev, has_vel,
             np.int32(self.ref_kf), np.int32(min_obs),
             last_depth=self.last_frame.depth if loc_vo else None,
             last_desc=self.last_frame.desc if loc_vo else None,
             loc_mode=loc_vo,
         )
+        # Chain the unresolved device pose into the next dispatch.
+        self._chain_prev = self._chain_Tcw
+        self._chain_Tcw = Tcw_dev
+        self.last_frame = frame
+        self.last_mp = cur_mp
+        self._pending.append((frame, timestamp, self.frame_id, cur_mp, packed_dev))
+        self.frame_id += 1
         if self.pipelined:
             try:
                 packed_dev.copy_to_host_async()
             except Exception:
                 pass
-            # Provisional pose/assignment: the motion-model prediction; the
-            # exact result lands when the readback resolves next frame.
-            self.last_frame = frame
-            self.last_mp = cur_mp
-            self._pending = (frame, timestamp, self.frame_id, cur_mp, packed_dev)
-            self.frame_id += 1
             info.setdefault("Tcw", self.Tcw.copy())
             info["state"] = self.state
             return info
+        return self._resolve_one()
 
-        packed = np.asarray(packed_dev)  # single per-frame readback
-        Tcw_dev = packed[:16].reshape(4, 4)
-        stats = packed[16:25]
-        self._ref_pose_host = packed[25:41].reshape(4, 4)
-        n_inliers = int(stats[0])
-        stage1_inl = int(stats[6])
-        info["motion_inliers" if stats[7] else "refkf_inliers"] = stage1_inl
-        info["localmap_inliers"] = n_inliers
-        recently_reloc = self.frame_id - self.last_reloc_frame_id < int(self.cfg.camera.fps)
-        min_inl = (
-            self.cfg.tracking.min_localmap_inliers_after_reloc
-            if recently_reloc
-            else self.cfg.tracking.min_localmap_inliers
-        )
-        lost_now = self._lost_check(stats, stage1_inl, n_inliers, min_inl, info)
-        if lost_now:
-            self.state = TrackingState.LOST
-            # Lost soon after initialization: the map is unreliable — signal
-            # a full system reset (reference src/Tracking.cc:519-527).
-            if self.n_kf <= 5:
-                self.needs_reset = True
-            info["state"] = self.state
-            self._log_pose(timestamp)
-            self.frame_id += 1
-            info["Tcw"] = self.Tcw.copy()
-            return info
+    def flush(self):
+        """Resolve all in-flight frames (pipelined mode); call before
+        reading trajectory/state that must reflect every tracked frame."""
+        while self._pending and self.state == TrackingState.OK:
+            self._resolve_one()
+        self._pending.clear()
 
-        Tcw_new = Tcw_dev.astype(np.float32)
-        # Velocity model update (reference src/Tracking.cc:462-469).
-        self.velocity = Tcw_new @ np.linalg.inv(self.Tcw)
-        self.Tcw = Tcw_new
-        self.ref_kf = int(stats[4])
-
-        # --- keyframe decision --------------------------------------------
-        need_kf = self._need_new_keyframe(stats)
-        if need_kf:
-            self.map, kf_id = insert_keyframe_with_points(
-                self.cfg, self.map, frame, Tcw_new, cur_mp,
-                np.int32(self.frame_id), np.float32(timestamp),
-            )
-            self.n_kf = int(self.map.n_kf)
-            self.last_kf_frame_id = self.frame_id
-            self.ref_kf = int(kf_id)
-            self._ref_pose_host = Tcw_new  # new KF pose == current frame pose
-            self.kf_counter += 1
-            info["kf"] = True
-            cur_mp = self.map.kf_mp[kf_id]
-            if self.local_mapper is not None:
-                self.map = self.local_mapper.process(self.map, int(kf_id))
-
-        self.last_frame = frame
-        self.last_mp = cur_mp
-        self._log_pose(timestamp)
-        self.frame_id += 1
-        info["Tcw"] = self.Tcw.copy()
-        info["state"] = self.state
-        return info
-
-    def _resolve_pending(self) -> dict:
-        """Pipelined mode: consume the previous frame's readback and run the
-        host-side epilogue (state transitions, velocity, KF insertion)."""
-        frame, ts, fid, cur_mp, packed_dev = self._pending
-        self._pending = None
+    def _resolve_one(self) -> dict:
+        """Consume the oldest in-flight frame's readback and run the
+        host-side epilogue (state transitions, pose chain, KF insertion)."""
+        frame, ts, fid, cur_mp, packed_dev = self._pending.pop(0)
+        at_head = not self._pending  # resolving the newest dispatch?
         info = {"state": self.state, "kf": False}
         packed = np.asarray(packed_dev)
-        Tcw_dev = packed[:16].reshape(4, 4)
+        Tcw_res = packed[:16].reshape(4, 4)
         stats = packed[16:25]
         self._ref_pose_host = packed[25:41].reshape(4, 4)
         n_inliers = int(stats[0])
@@ -808,16 +799,24 @@ class Tracker:
         lost_now = self._lost_check(stats, stage1_inl, n_inliers, min_inl, info)
         if lost_now:
             self.state = TrackingState.LOST
+            # Lost soon after initialization: the map is unreliable — signal
+            # a full system reset (reference src/Tracking.cc:519-527).
             if self.n_kf <= 5:
                 self.needs_reset = True
+            # Later in-flight frames chained off a lost pose: discard them
+            # and rebase the dispatch chain on the last good resolved pose.
+            self._pending.clear()
+            self.reset_motion()
             info["state"] = self.state
             self._log_pose(ts, frame_id=fid)
             info["Tcw"] = self.Tcw.copy()
             return info
-        Tcw_new = Tcw_dev.astype(np.float32)
-        self.velocity = Tcw_new @ np.linalg.inv(self.Tcw)
-        self.Tcw = Tcw_new
+
+        Tcw_new = Tcw_res.astype(np.float32)
+        self.Tcw = Tcw_new  # velocity lives on device (see track_frame)
         self.ref_kf = int(stats[4])
+
+        # --- keyframe decision --------------------------------------------
         if self._need_new_keyframe(stats, frame_id=fid):
             self.map, kf_id = insert_keyframe_with_points(
                 self.cfg, self.map, frame, Tcw_new, cur_mp,
@@ -826,12 +825,17 @@ class Tracker:
             self.n_kf = int(self.map.n_kf)
             self.last_kf_frame_id = fid
             self.ref_kf = int(kf_id)
-            self._ref_pose_host = Tcw_new
+            self._ref_pose_host = Tcw_new  # new KF pose == that frame's pose
             self.kf_counter += 1
             info["kf"] = True
-            self.last_mp = self.map.kf_mp[kf_id]
+            if at_head:
+                # No newer dispatch in flight: the KF's point assignments
+                # (including freshly spawned stereo points) are aligned with
+                # self.last_frame — mirror them for the next motion search.
+                self.last_mp = self.map.kf_mp[kf_id]
             if self.local_mapper is not None:
                 self.map = self.local_mapper.process(self.map, int(kf_id))
+
         self._log_pose(ts, frame_id=fid)
         info["Tcw"] = self.Tcw.copy()
         info["state"] = self.state
@@ -903,6 +907,7 @@ class Tracker:
         """Compose the relative log with the *current* keyframe poses
         (reference SaveTrajectoryTUM, src/System.cc:322-380). Returns
         [(frame_id, timestamp, Tcw (4,4) np, lost)]."""
+        self.flush()  # resolve in-flight pipelined frames first
         kf_Tcw = np.asarray(self.map.kf_Tcw)
         out = []
         for fid, ts, ref, T_rel, lost in self.trajectory:

@@ -143,6 +143,24 @@ def se3_inverse(T):
     return se3_from_Rt(R.T, -R.T @ t)
 
 
+def se3_orthonormalize(T):
+    """Project the rotation block back onto SO(3) (Gram-Schmidt rows).
+
+    Pose chains multiply f32 matrices every frame; left-multiplicative
+    exp-updates preserve any non-orthogonal component of the initial guess,
+    and transpose-based inverses then AMPLIFY it geometrically. One
+    projection per frame keeps the chain rigid indefinitely.
+    """
+    r0 = T[0, :3]
+    r1 = T[1, :3]
+    r0 = r0 / jnp.linalg.norm(r0)
+    r1 = r1 - jnp.dot(r1, r0) * r0
+    r1 = r1 / jnp.linalg.norm(r1)
+    r2 = jnp.cross(r0, r1)
+    R = jnp.stack([r0, r1, r2])
+    return se3_from_Rt(R, T[:3, 3])
+
+
 def se3_exp(xi):
     """xi = [upsilon(3), omega(3)] -> 4x4 transform."""
     ups, omg = xi[:3], xi[3:6]
