@@ -92,7 +92,7 @@ def main():
     )
     intensities = rng.uniform(70, 240, n_pts)
 
-    n_frames = 24
+    n_frames = 100
     poses = []
     Twc = np.eye(4)
     for i in range(n_frames):
@@ -113,32 +113,38 @@ def main():
     factory = FrameFactory(cfg)
     tracker = Tracker(cfg, factory.capacity)
     tracker.pipelined = True  # hide the per-frame readback RTT
-    # Depth 3: a readback issued at frame i resolves at i+3, so the tunnel
-    # RTT (~30ms) is amortized to ~RTT/3 of frame-period floor.
-    tracker.pipeline_depth = 3
+    # Depth 5: a readback issued at frame i resolves at i+5, so the tunnel
+    # RTT (~30ms) amortizes to ~6ms of frame-period floor — below the
+    # ~17ms/frame device compute, making the loop device-bound.
+    tracker.pipeline_depth = 5
 
     # Pipelined loop: dispatch the next frame's front-end before consuming
     # the current frame's tracking result — the async-dispatch analog of
     # the reference's thread decoupling. Warmup frames excluded from timing.
-    times = []
+    # Sustained throughput: wall time over the steady-state window INCLUDING
+    # the final pipeline flush, so queued-but-unfinished device work cannot
+    # inflate the number.
+    warmup = 8
     ok_frames = 0
+    t_start = None
     next_frame = factory.build_stereo(*pairs[0])
     for i in range(n_frames):
-        t0 = time.perf_counter()
+        if i == warmup:
+            tracker.flush()  # drain compile-skewed work before the clock
+            t_start = time.perf_counter()
         frame = next_frame
         # Enqueue tracking first (the device executes in dispatch order),
         # then the next frame's front-end fills the pipeline behind it.
         info = tracker.track(frame, i / 30.0)
         if i + 1 < n_frames:
             next_frame = factory.build_stereo(*pairs[i + 1])
-        t1 = time.perf_counter()
-        if i >= 4:  # skip compile-heavy warmup frames
-            times.append(t1 - t0)
         if info["state"] == TrackingState.OK:
             ok_frames += 1
-
-    med = float(np.median(times)) if times else float("inf")
-    fps = 1.0 / med if med > 0 else 0.0
+    tracker.flush()
+    elapsed = time.perf_counter() - t_start
+    timed = n_frames - warmup
+    med = elapsed / timed
+    fps = timed / elapsed
     result = {
         "metric": "tracking_fps_single_chip",
         "value": round(fps, 2),

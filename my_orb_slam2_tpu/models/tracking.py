@@ -674,8 +674,11 @@ class Tracker:
         self.Tcw = np.eye(4, dtype=np.float32)
         self.reset_motion()
         self.state = TrackingState.OK
-        self.n_kf = int(self.map.n_kf)
-        self.ref_kf = int(kf_id)
+        # KF slots are allocated sequentially (ms.insert_keyframe) and never
+        # reused, so the host mirrors the counter instead of reading it back
+        # (each readback stalls the whole device pipeline for a tunnel RTT).
+        self.n_kf = 1
+        self.ref_kf = 0
         self._ref_pose_host = np.eye(4, dtype=np.float32)
         self.last_kf_frame_id = self.frame_id
         self.kf_counter += 1
@@ -818,13 +821,17 @@ class Tracker:
 
         # --- keyframe decision --------------------------------------------
         if self._need_new_keyframe(stats, frame_id=fid):
+            # Host mirror of the device slot counter (sequential, never
+            # reused): avoids a device->host readback that would stall the
+            # whole in-flight pipeline for a tunnel RTT per keyframe.
+            kf_slot = self.n_kf
             self.map, kf_id = insert_keyframe_with_points(
                 self.cfg, self.map, frame, Tcw_new, cur_mp,
                 np.int32(fid), np.float32(ts),
             )
-            self.n_kf = int(self.map.n_kf)
+            self.n_kf = kf_slot + 1
             self.last_kf_frame_id = fid
-            self.ref_kf = int(kf_id)
+            self.ref_kf = kf_slot
             self._ref_pose_host = Tcw_new  # new KF pose == that frame's pose
             self.kf_counter += 1
             info["kf"] = True
@@ -832,9 +839,9 @@ class Tracker:
                 # No newer dispatch in flight: the KF's point assignments
                 # (including freshly spawned stereo points) are aligned with
                 # self.last_frame — mirror them for the next motion search.
-                self.last_mp = self.map.kf_mp[kf_id]
+                self.last_mp = self.map.kf_mp[kf_slot]
             if self.local_mapper is not None:
-                self.map = self.local_mapper.process(self.map, int(kf_id))
+                self.map = self.local_mapper.process(self.map, kf_slot)
 
         self._log_pose(ts, frame_id=fid)
         info["Tcw"] = self.Tcw.copy()
