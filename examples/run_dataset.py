@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--assoc", default=None)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--realtime", action="store_true", help="pace input at dataset fps")
+    ap.add_argument("--pipeline", type=int, default=3,
+                    help="tracking pipeline depth (0 = synchronous)")
     args = ap.parse_args()
 
     if args.kind == "tum-rgbd":
@@ -52,7 +54,7 @@ def main():
         cfg = load_yaml_settings(settings, Sensor.STEREO)
         ds = datasets.EurocStereoDataset(cam0, cam1, stamps)
 
-    system = SlamSystem(cfg)
+    system = SlamSystem(cfg, pipeline_depth=args.pipeline)
     times = []
     last_t = None
     for i, frame in enumerate(ds.frames()):

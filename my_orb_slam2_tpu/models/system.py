@@ -75,7 +75,12 @@ class SlamSystem:
         enable_loop_closing: bool = True,
         run_global_ba_on_loop: bool = True,
         capacity: Optional[int] = None,
+        pipeline_depth: int = 0,
     ):
+        """pipeline_depth > 0 enables pipelined tracking: per-frame readbacks
+        resolve that many frames later so dispatches never wait on the
+        host<->device round-trip (keyframe decisions lag accordingly, like
+        the reference's asynchronous mapping thread). 0 = synchronous."""
         self.cfg = cfg
         self.factory = FrameFactory(cfg) if use_images else None
         if capacity is None:
@@ -87,7 +92,11 @@ class SlamSystem:
         self.loop_closer = LoopCloser(cfg, self.vocab, run_global_ba=run_global_ba_on_loop)
         self.relocalizer = Relocalizer(cfg, self.vocab)
         self.enable_loop_closing = enable_loop_closing
+        self.pipeline_depth = pipeline_depth
         self.tracker = Tracker(cfg, capacity, local_mapper=_MappingChain(self))
+        if pipeline_depth > 0:
+            self.tracker.pipelined = True
+            self.tracker.pipeline_depth = pipeline_depth
         self.map_change_idx = 0
         self.timing = []
 
@@ -161,11 +170,14 @@ class SlamSystem:
             cfg.capacity.max_keyframes, self.capacity, self.vocab.n_words
         )
         self.tracker = Tracker(cfg, self.capacity, local_mapper=_MappingChain(self))
+        if self.pipeline_depth > 0:
+            self.tracker.pipelined = True
+            self.tracker.pipeline_depth = self.pipeline_depth
         self.loop_closer = LoopCloser(cfg, self.vocab)
         self.map_change_idx += 1
 
     def shutdown(self):
-        pass  # synchronous pipeline: nothing to join
+        self.tracker.flush()  # drain in-flight pipelined frames
 
     def get_tracking_state(self) -> int:
         return self.tracker.state

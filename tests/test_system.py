@@ -211,3 +211,30 @@ def test_localization_vo_mode_unmapped_territory():
     # Pose estimate should still follow ground truth (pure VO drift only).
     err = np.linalg.norm(system.tracker.Tcw[:3, 3] - poses[-1][:3, 3])
     assert err < 0.6, err
+
+
+def test_system_pipelined_tracking():
+    """Full SlamSystem (mapping chain + loop closer wired) with pipelined
+    tracking: decisions lag pipeline_depth frames but the trajectory must be
+    as good as synchronous."""
+    cfg = loop_cfg(max_kf=64)
+    world = SyntheticWorld(cfg, n_landmarks=6000, seed=12)
+    poses = world.circular_trajectory(20, forward_per_frame=0.1)
+
+    def run(depth):
+        system = SlamSystem(
+            cfg, use_images=False, capacity=CAP,
+            enable_loop_closing=False, pipeline_depth=depth,
+        )
+        for i, Tcw in enumerate(poses):
+            frame, _ = world.observe(Tcw, CAP, seed=1200 + i)
+            info = system.track_frame_data(frame, i / 30.0)
+            assert info["state"] == TrackingState.OK, (depth, i, info)
+        system.shutdown()  # flush in-flight frames
+        traj = system.tracker.trajectory_poses()
+        est = np.stack([T for _, _, T, lost in traj if not lost])
+        return ate_rmse(est, poses[: len(est)])
+
+    a_sync = run(0)
+    a_pipe = run(3)
+    assert a_pipe < max(2 * a_sync, 0.05), (a_sync, a_pipe)
