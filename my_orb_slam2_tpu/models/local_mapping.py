@@ -297,9 +297,14 @@ def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbor
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_targets"), donate_argnames=("state",)
+    jax.jit,
+    static_argnames=("cfg", "n_targets", "max_cand_b", "refresh_derived"),
+    donate_argnames=("state",),
 )
-def fuse_neighbors(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 20):
+def fuse_neighbors(
+    cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 20,
+    max_cand_b: int = 8192, refresh_derived: bool = True,
+):
     """Two-way projection fuse between the new keyframe and its covisibility
     neighborhood (reference SearchInNeighbors src/LocalMapping.cc:530-610 +
     ORBmatcher::Fuse src/ORBmatcher.cc:879-1029).
@@ -309,6 +314,12 @@ def fuse_neighbors(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 
     keypoint that already observes a different point triggers
     MapPoint::Replace semantics (keep the point with more observations);
     a match against a free keypoint adds the observation.
+
+    Candidate compaction keeps the quadratic search small at dataset-scale
+    capacity: direction A's candidates are exactly the new KF's <=N points
+    (no MP-wide rows), direction B's are the frustum-gated union of the
+    targets' points compacted to `max_cand_b` — the (queries x keypoints)
+    Hamming matrix is C x N instead of MP x N (>=64x less at KITTI capacity).
     """
     cam = cfg.camera
     KF, N = state.kf_mp.shape
@@ -316,6 +327,7 @@ def fuse_neighbors(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 
     sf = cfg.orb.scale_factor
     sf_tab = jnp.asarray([sf ** l for l in range(cfg.orb.n_levels)], jnp.float32)
     log_sf = float(np.log(sf))
+    from my_orb_slam2_tpu.ops.projection import frustum_check, predict_scale
 
     # First ring (top-10) + implicit second ring approximated by top-20.
     tgt_ids, tgt_w = ms.best_covisible(state, kf_id, n_targets)
@@ -323,25 +335,28 @@ def fuse_neighbors(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 
 
     replace_map = jnp.arange(MP, dtype=jnp.int32)  # loser -> winner
 
-    def fuse_into(state_arrays, src_pts_mask, tkf, tkf_ok):
-        """Project masked points into keyframe tkf; return per-point
-        (matched_slot, accept) under the Fuse gates."""
-        (mp_pos, mp_normal, mp_min, mp_max, mp_desc) = state_arrays
+    def fuse_search(cand_ids, cand_ok, tkf):
+        """Project candidate points (compacted ids) into keyframe tkf;
+        return (matched_kp_slot, accept) aligned with the candidates,
+        under the reference Fuse gates."""
+        pos = jnp.take(state.mp_pos, cand_ids, axis=0)
+        nrm = jnp.take(state.mp_normal, cand_ids, axis=0)
+        dmin = jnp.take(state.mp_min_dist, cand_ids)
+        dmax = jnp.take(state.mp_max_dist, cand_ids)
+        desc = jnp.take(state.mp_desc, cand_ids, axis=0)
         T = state.kf_Tcw[tkf]
-        from my_orb_slam2_tpu.ops.projection import frustum_check, predict_scale
-
         okf, uvp, zp, distp, vcos = frustum_check(
-            T, mp_pos, mp_normal, mp_min * 0.8, mp_max * 1.2,
+            T, pos, nrm, dmin * 0.8, dmax * 1.2,
             cam.fx, cam.fy, cam.cx, cam.cy, 0.0, float(cam.width), 0.0, float(cam.height),
         )
-        pred_lvl = predict_scale(distp, mp_max * 1.2, log_sf, cfg.orb.n_levels)
+        pred_lvl = predict_scale(distp, dmax * 1.2, log_sf, cfg.orb.n_levels)
         radius = 3.0 * jnp.take(sf_tab, pred_lvl)
         urp = uvp[:, 0] - cam.bf / jnp.where(zp > 1e-6, zp, 1e9)
         idx, ok, dist = matching.search_by_projection(
             uvp,
             pred_lvl,
-            src_pts_mask & okf & tkf_ok,
-            mp_desc,
+            cand_ok & okf,
+            desc,
             radius,
             state.kf_uv[tkf],
             state.kf_octave[tkf],
@@ -356,39 +371,44 @@ def fuse_neighbors(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 
         )
         return idx, ok
 
-    arrays = (state.mp_pos, state.mp_normal, state.mp_min_dist, state.mp_max_dist, state.mp_desc)
-
-    # Direction A: kf_id's points into targets. src points = points of kf_id.
-    src_mask = jnp.zeros((MP,), bool).at[
-        jnp.where(state.kf_mp[kf_id] >= 0, state.kf_mp[kf_id], 0)
-    ].set(state.kf_mp[kf_id] >= 0)
-    src_mask = src_mask & state.mp_valid
+    # Direction A: kf_id's points into targets. The candidate set is exactly
+    # the keyframe's own observation row (<= N points) — no MP-wide search.
+    candA = jnp.where(state.kf_mp[kf_id] >= 0, state.kf_mp[kf_id], 0)  # (N,)
+    candA_ok = (
+        (state.kf_mp[kf_id] >= 0)
+        & state.kf_kp_valid[kf_id]
+        & jnp.take(state.mp_valid, candA)
+    )
+    src_mask = jnp.zeros((MP,), bool).at[candA].set(candA_ok)
 
     def dir_a(carry, t):
         state_kf_mp, mp_n_obs, replace_map = carry
         tkf = jnp.maximum(tgt_ids[t], 0)
         ok_t = tgt_ids[t] >= 0
-        idx, ok = fuse_into(arrays, src_mask, tkf, jnp.full((MP,), ok_t))
+        idx, ok = fuse_search(candA, candA_ok & ok_t, tkf)
+        ok = ok & ok_t
         # existing observation at the matched keypoint
-        existing = jnp.take(state_kf_mp[tkf], idx)  # (MP,)
-        pid = jnp.arange(MP, dtype=jnp.int32)
+        existing = jnp.take(state_kf_mp[tkf], idx)  # (N,)
+        pid = candA
         # add observation where keypoint free
         add = ok & (existing < 0)
         row = state_kf_mp[tkf]
         row = row.at[jnp.where(add, idx, 0)].max(jnp.where(add, pid, -1))
         state_kf_mp = state_kf_mp.at[tkf].set(jnp.where(ok_t, row, state_kf_mp[tkf]))
         inc = jnp.where(jnp.take(state.kf_ur[tkf], idx) >= 0, 2, 1)
-        mp_n_obs = mp_n_obs + jnp.zeros((MP + 1,), jnp.int32).at[
-            jnp.where(add & ok_t, pid, MP)
-        ].add(inc)[:MP]
+        mp_n_obs = mp_n_obs.at[jnp.where(add, pid, MP)].add(
+            jnp.where(add, inc, 0), mode="drop"
+        )
         # replace where keypoint already has a different point
         conflict = ok & (existing >= 0) & (existing != pid)
         ex = jnp.where(conflict, existing, 0)
-        keep_existing = jnp.take(mp_n_obs, ex) >= jnp.take(mp_n_obs, pid)
+        keep_existing = jnp.take(mp_n_obs, ex) >= jnp.take(
+            mp_n_obs, jnp.where(conflict, pid, 0)
+        )
         loser = jnp.where(keep_existing, pid, ex)
         winner = jnp.where(keep_existing, ex, pid)
-        upd = conflict & ok_t & (loser != winner)
-        replace_map = replace_map.at[jnp.where(upd, loser, loser * 0)].set(
+        upd = conflict & (loser != winner)
+        replace_map = replace_map.at[jnp.where(upd, loser, 0)].set(
             jnp.where(upd, winner, replace_map[0])
         )
         return (state_kf_mp, mp_n_obs, replace_map), 0
@@ -400,28 +420,37 @@ def fuse_neighbors(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 
     )
     state = state._replace(kf_mp=kf_mp_new, mp_n_obs=mp_n_obs_new)
 
-    # Direction B: targets' points into kf_id (single pass with union mask).
-    tgt_mask_rows = jnp.zeros((MP,), bool)
-    for_union = jnp.where(tgt_ok[:, None], jnp.maximum(tgt_ids, 0)[:, None], 0)
+    # Direction B: targets' points into kf_id (single pass, union of the
+    # target rows dedup'd through an MP mask, frustum-gated against kf_id,
+    # then compacted to max_cand_b ids).
     tgt_rows = jnp.take(state.kf_mp, jnp.maximum(tgt_ids, 0), axis=0)  # (T, N)
     tvalid = tgt_ok[:, None] & (tgt_rows >= 0)
-    tgt_mask_rows = tgt_mask_rows.at[jnp.where(tvalid, tgt_rows, 0).reshape(-1)].set(
-        tvalid.reshape(-1)
-    )
+    tgt_mask_rows = jnp.zeros((MP,), bool).at[
+        jnp.where(tvalid, tgt_rows, 0).reshape(-1)
+    ].set(tvalid.reshape(-1))
     tgt_mask_rows = tgt_mask_rows & state.mp_valid
-    idx, ok = fuse_into(arrays, tgt_mask_rows, kf_id, jnp.full((MP,), True))
+    okf_all, _, _, _, _ = frustum_check(
+        state.kf_Tcw[kf_id], state.mp_pos, state.mp_normal,
+        state.mp_min_dist * 0.8, state.mp_max_dist * 1.2,
+        cam.fx, cam.fy, cam.cx, cam.cy, 0.0, float(cam.width), 0.0, float(cam.height),
+    )
+    in_view = tgt_mask_rows & okf_all
+    candB = jnp.nonzero(in_view, size=min(max_cand_b, MP), fill_value=MP)[0]
+    candB_ok = candB < MP
+    candB = jnp.clip(candB, 0, MP - 1)
+    idx, ok = fuse_search(candB, candB_ok, kf_id)
     existing = jnp.take(state.kf_mp[kf_id], idx)
-    pid = jnp.arange(MP, dtype=jnp.int32)
+    pid = candB
     add = ok & (existing < 0)
     row = state.kf_mp[kf_id]
     row = row.at[jnp.where(add, idx, 0)].max(jnp.where(add, pid, -1))
     inc = jnp.where(jnp.take(state.kf_ur[kf_id], idx) >= 0, 2, 1)
-    n_obs = state.mp_n_obs + jnp.zeros((MP + 1,), jnp.int32).at[
-        jnp.where(add, pid, MP)
-    ].add(inc)[:MP]
+    n_obs = state.mp_n_obs.at[jnp.where(add, pid, MP)].add(
+        jnp.where(add, inc, 0), mode="drop"
+    )
     conflict = ok & (existing >= 0) & (existing != pid)
     ex = jnp.where(conflict, existing, 0)
-    keep_existing = jnp.take(n_obs, ex) >= jnp.take(n_obs, pid)
+    keep_existing = jnp.take(n_obs, ex) >= jnp.take(n_obs, jnp.where(conflict, pid, 0))
     loser = jnp.where(keep_existing, pid, ex)
     winner = jnp.where(keep_existing, ex, pid)
     upd = conflict & (loser != winner)
@@ -433,7 +462,13 @@ def fuse_neighbors(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 
     )
 
     # --- apply replacements globally (MapPoint::Replace) ------------------
-    # One level of indirection is enough per fuse round.
+    # Resolve replacement CHAINS (A->B set by one target, B->C by a later
+    # one) by path-halving composition — an un-resolved chain would leave
+    # observations pointing at an invalidated intermediate. 2-cycles
+    # (A<->B, possible from tie-breaking across targets) self-collapse to
+    # identity, leaving both points valid.
+    for _ in range(3):
+        replace_map = jnp.take(replace_map, replace_map)
     replaced = replace_map != jnp.arange(MP)
     kf_mp = state.kf_mp
     kf_mp = jnp.where(kf_mp >= 0, jnp.take(replace_map, jnp.clip(kf_mp, 0, MP - 1)), kf_mp)
@@ -450,11 +485,16 @@ def fuse_neighbors(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 
         ),
     )
     state = ms.recount_observations(state)
-    # refresh geometry of touched points + covisibility of touched KFs
-    touched = src_mask | tgt_mask_rows
-    state = ms.update_point_geometry(state, touched, cfg.orb.scale_factor, cfg.orb.n_levels)
+    # covisibility rows of the touched KFs (loop detection depends on these)
     upd_kfs = jnp.concatenate([jnp.array([kf_id], jnp.int32), tgt_ids])
     state = ms.refresh_covisibility(state, upd_kfs)
+    if refresh_derived:
+        # point geometry (normals + scale rings) — skipped when local BA's
+        # writeback immediately follows: BA moves the points, so it must
+        # recompute geometry anyway; doing it here too would double the
+        # (KF x N)-bound epilogue passes
+        touched = src_mask | tgt_mask_rows
+        state = ms.update_point_geometry(state, touched, cfg.orb.scale_factor, cfg.orb.n_levels)
     return state
 
 
@@ -696,7 +736,15 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
             False,
         )
 
-    red = jax.vmap(redundancy)(jnp.arange(KF)) & cand_mask
+    # Only the covisible neighbors are candidates (reference iterates
+    # GetVectorCovisibleKeyFrames, src/LocalMapping.cc:712) — evaluate the
+    # redundancy test on the top-K of those instead of vmapping all KF
+    # slots ((KF x N) gathers at dataset capacity).
+    MAXCAND = min(32, KF)
+    cand_w = jnp.where(cand_mask, state.covis[kf_id], 0)
+    top_w, top_ids = jax.lax.top_k(cand_w, MAXCAND)
+    red_top = jax.vmap(redundancy)(top_ids) & (top_w > 0)
+    red = jnp.zeros((KF,), bool).at[top_ids].set(red_top)
     culled_mask = red
     # Detach: keyframe invalid, observations released, children re-homed to
     # the culled KF's parent (simplified re-homing vs the reference's greedy
@@ -725,15 +773,46 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
 
 class LocalMapper:
     """Chains the local-mapping passes after each keyframe insertion
-    (the synchronous analog of the reference LocalMapping::Run loop)."""
+    (the synchronous analog of the reference LocalMapping::Run loop).
 
-    def __init__(self, cfg: SlamConfig, run_ba: bool = True, cull_keyframes: bool = True):
+    Load shedding mirrors the reference exactly: when keyframes arrive
+    back-to-back ("queue pressure"), SearchInNeighbors and local BA are
+    skipped — the reference runs them only when its KF queue is empty
+    (src/LocalMapping.cc:86-102) and aborts a running BA on new arrivals
+    (mbAbortBA, src/LocalMapping.cc:631-706). `full_every` bounds the
+    staleness: every Mth keyframe gets the full pass even under pressure
+    (the reference's queue likewise drains eventually).
+    """
+
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        run_ba: bool = True,
+        cull_keyframes: bool = True,
+        full_every: int = 1,
+    ):
         self.cfg = cfg
         self.run_ba = run_ba
         self.cull = cull_keyframes
-        self.stats = {"points_created": 0, "kfs_culled": 0, "ba_runs": 0}
+        self.full_every = max(1, full_every)
+        self._since_full = 0
+        # Deferred (device-scalar) counters: converting per-call would stall
+        # the in-flight dispatch pipeline for a tunnel RTT each keyframe.
+        self._created = []
+        self._culled = []
+        self._ba_runs = 0
 
-    def process(self, state: ms.MapState, kf_id: int) -> ms.MapState:
+    @property
+    def stats(self) -> dict:
+        return {
+            "points_created": int(sum(int(np.asarray(x)) for x in self._created)),
+            "kfs_culled": int(sum(int(np.asarray(x)) for x in self._culled)),
+            "ba_runs": self._ba_runs,
+        }
+
+    def process(
+        self, state: ms.MapState, kf_id: int, queue_pressure: bool = False
+    ) -> ms.MapState:
         cfg = self.cfg
         kf = jnp.int32(kf_id)
         state = map_point_culling(cfg, state, kf)
@@ -743,7 +822,13 @@ class LocalMapper:
             else cfg.mapping.triangulation_neighbors_stereo
         )
         state, n_new = create_new_map_points(cfg, state, kf, n_neighbors=n_neigh)
-        self.stats["points_created"] += int(n_new)
+        self._created.append(n_new)
+        self._since_full += 1
+        do_full = (not queue_pressure) or self._since_full >= self.full_every
+        if not do_full:
+            self.last_culled_mask = None
+            return state
+        self._since_full = 0
         state = fuse_neighbors(cfg, state, kf)
         if self.run_ba and kf_id >= 2:
             cam = cfg.camera
@@ -754,13 +839,13 @@ class LocalMapper:
                 iters2=cfg.mapping.local_ba_iters2,
             )
             state = writeback_local_ba(cfg, state, prob, aux, final_mask)
-            self.stats["ba_runs"] += 1
+            self._ba_runs += 1
         if self.cull:
             state, culled_mask = keyframe_culling(cfg, state, kf)
             # Exposed so the owning pipeline can sync the keyframe database
             # (reference SetBadFlag -> KeyFrameDatabase::erase).
             self.last_culled_mask = culled_mask
-            self.stats["kfs_culled"] += int(jnp.sum(culled_mask))
+            self._culled.append(jnp.sum(culled_mask))
         else:
             self.last_culled_mask = None
         return state

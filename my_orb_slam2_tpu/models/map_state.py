@@ -317,28 +317,66 @@ def refresh_covisibility(state: MapState, kf_ids: jnp.ndarray) -> MapState:
 
     Used after fuse/culling where observation sets changed (reference
     UpdateConnections re-runs per affected KF).
+
+    One (KF, N) gather total: each point gets a BITMASK of which of the
+    requested keyframes observe it, so all rows accumulate from a single
+    pass over the observation table — per-row gathers would cost
+    len(kf_ids) x (KF x N) at dataset capacity.
     """
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    covis = state.covis
+    K_total = kf_ids.shape[0]
+    obs_ok = (state.kf_mp >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+    gather_idx = jnp.where(obs_ok, state.kf_mp, MP)  # (KF, N)
 
-    def one_row(kf_id):
-        valid_row = jnp.where(
-            kf_id >= 0,
-            covis_row(
-                state, jnp.where(state.kf_kp_valid[kf_id], state.kf_mp[kf_id], INVALID)
-            ),
-            jnp.zeros_like(state.covis[0]),
+    for c0 in range(0, K_total, 32):
+        ids = kf_ids[c0 : c0 + 32]
+        K = ids.shape[0]
+        ids_c = jnp.maximum(ids, 0)
+        ok_id = (ids >= 0) & (ids < KF)
+        # point -> bitmask of which requested KFs observe it
+        rows_mp = jnp.take(state.kf_mp, ids_c, axis=0)  # (K, N)
+        rows_ok = (
+            ok_id[:, None]
+            & (rows_mp >= 0)
+            & jnp.take(state.kf_kp_valid, ids_c, axis=0)
         )
-        return valid_row.at[jnp.maximum(kf_id, 0)].set(0)
+        # Set-semantics per (point, row) — a scatter-ADD of bit values would
+        # corrupt the mask if a row observes the same point twice (possible
+        # transiently after Replace rewiring).
+        tbl = (
+            jnp.zeros((MP + 1, K), bool)
+            .at[
+                jnp.where(rows_ok, rows_mp, MP).reshape(-1),
+                jnp.broadcast_to(jnp.arange(K)[:, None], rows_mp.shape).reshape(-1),
+            ]
+            .set(True)
+        )
+        tbl = tbl.at[MP].set(False)  # sentinel row collects all padding writes
+        mask_tbl = jnp.sum(
+            tbl.astype(jnp.uint32) << jnp.arange(K, dtype=jnp.uint32)[None, :],
+            axis=1,
+            dtype=jnp.uint32,
+        )
+        hits = jnp.take(mask_tbl, gather_idx)  # (KF, N) u32 — the one gather
+        # per-bit row sums -> the K covisibility rows at once
+        rows = jnp.stack(
+            [
+                jnp.sum((hits >> jnp.uint32(j)) & 1, axis=1, dtype=jnp.int32)
+                for j in range(K)
+            ]
+        )  # (K, KF)
+        rows = rows * state.kf_valid[None, :]
+        rows = jnp.where(ok_id[:, None], rows, 0)
+        # zero self-edges
+        rows = rows.at[jnp.arange(K), ids_c].set(0)
 
-    rows = jax.vmap(one_row)(jnp.maximum(kf_ids, 0))
-    rows = jnp.where((kf_ids >= 0)[:, None], rows, 0)
+        def write(i, cv):
+            new = cv.at[ids_c[i], :].set(rows[i]).at[:, ids_c[i]].set(rows[i])
+            return jnp.where(ok_id[i], new, cv)
 
-    def write(i, st_covis):
-        kf_id = kf_ids[i]
-        row = rows[i]
-        new = st_covis.at[kf_id, :].set(row).at[:, kf_id].set(row)
-        return jnp.where(kf_id >= 0, new, st_covis)
-
-    covis = jax.lax.fori_loop(0, kf_ids.shape[0], write, state.covis)
+        covis = jax.lax.fori_loop(0, K, write, covis)
     return state._replace(covis=covis)
 
 
@@ -374,13 +412,18 @@ def update_point_geometry(state: MapState, mp_mask: jnp.ndarray,
     ref = jnp.clip(state.mp_ref_kf, 0, KF - 1)
     ref_Ow = jnp.take(Ow, ref, axis=0)
     dist = jnp.linalg.norm(pos - ref_Ow, axis=-1)
-    # octave of the observation in the ref KF: find slot via match
-    ref_mp_rows = jnp.take(state.kf_mp, ref, axis=0)  # (MP, N)
-    slot_match = ref_mp_rows == jnp.arange(MP)[:, None]
-    any_slot = jnp.any(slot_match, axis=1)
-    slot = jnp.argmax(slot_match, axis=1)
-    octv = jnp.take_along_axis(jnp.take(state.kf_octave, ref, axis=0), slot[:, None], 1)[:, 0]
-    octv = jnp.where(any_slot, octv, 0)
+    # Octave of the observation in the ref KF: scatter from the (KF, N)
+    # observation table (one mp_ref_kf gather per slot) — materializing the
+    # per-point row gather would be an (MP, N) intermediate, gigabytes at
+    # dataset capacity.
+    pid = jnp.clip(state.kf_mp, 0, MP - 1)
+    is_ref = ok & (jnp.take(state.mp_ref_kf, pid) == jnp.arange(KF)[:, None])
+    flat = jnp.where(is_ref, state.kf_mp, MP).reshape(-1)
+    octv = (
+        jnp.zeros((MP + 1,), jnp.int32)
+        .at[flat]
+        .max(state.kf_octave.reshape(-1))[:MP]
+    )
     level_sf = scale_factor ** octv.astype(jnp.float32)
     max_dist = dist * level_sf
     min_dist = max_dist / (scale_factor ** (n_levels - 1))

@@ -46,10 +46,12 @@ class _MappingChain:
     def __init__(self, system: "SlamSystem"):
         self.sys = system
 
-    def process(self, state: ms.MapState, kf_id: int) -> ms.MapState:
+    def process(
+        self, state: ms.MapState, kf_id: int, queue_pressure: bool = False
+    ) -> ms.MapState:
         sys = self.sys
         if not sys.tracker.only_tracking:
-            state = sys.local_mapper.process(state, kf_id)
+            state = sys.local_mapper.process(state, kf_id, queue_pressure=queue_pressure)
             culled = getattr(sys.local_mapper, "last_culled_mask", None)
             if culled is not None:
                 sys.db = kdb.erase_mask(sys.db, culled)

@@ -288,10 +288,19 @@ def track_local_map(
     N = frame.uv.shape[0]
 
     # --- K1: keyframes observing current matched points ------------------
-    lm = jnp.where(cur_mp >= 0, cur_mp, MP)
-    seen = jnp.zeros((MP + 1,), jnp.int32).at[lm].set(1).at[MP].set(0)
-    kf_mp_safe = jnp.where(state.kf_mp >= 0, state.kf_mp, MP)
-    k1_score = jnp.sum(jnp.take(seen, kf_mp_safe), axis=1) * state.kf_valid  # (KF,)
+    # The reference walks every matched point's observer map
+    # (src/Tracking.cc:1331-1360). An SoA equivalent over the full kf_mp
+    # table costs (KF x N) gathers per frame — instead vote with each
+    # point's REFERENCE keyframe (its first observer, mp_ref_kf): K1's top
+    # entries are recovered exactly, and the covisibility expansion below
+    # reintroduces the remaining observers (they are by construction
+    # covisible with the reference KF through these very points).
+    lm_ids = jnp.where(cur_mp >= 0, cur_mp, 0)
+    p_ref = jnp.where(cur_mp >= 0, jnp.take(state.mp_ref_kf, lm_ids), KF)
+    p_ref = jnp.where((p_ref >= 0) & (p_ref < KF), p_ref, KF)
+    k1_score = (
+        jnp.zeros((KF,), jnp.int32).at[p_ref].add(1, mode="drop") * state.kf_valid
+    )
     ref_kf = jnp.argmax(k1_score)
 
     # --- K2: covisible neighborhood of K1 ---------------------------------
@@ -310,9 +319,16 @@ def track_local_map(
     local_kf_mask = jnp.zeros((KF,), bool).at[top_ids].set(top_scores > 0)
 
     # --- local points: union of observations of local KFs -----------------
-    obs_sel = local_kf_mask[:, None] & (state.kf_mp >= 0) & state.kf_kp_valid
+    # Gather only the top-`cap` keyframe rows (cap x N) instead of masking
+    # the full (KF x N) table — the dominant per-frame cost at capacity.
+    top_rows = jnp.take(state.kf_mp, top_ids, axis=0)  # (cap, N)
+    top_rows_ok = (
+        (top_scores > 0)[:, None]
+        & (top_rows >= 0)
+        & jnp.take(state.kf_kp_valid, top_ids, axis=0)
+    )
     local_pt = jnp.zeros((MP + 1,), bool).at[
-        jnp.where(obs_sel, state.kf_mp, MP).reshape(-1)
+        jnp.where(top_rows_ok, top_rows, MP).reshape(-1)
     ].set(True)[:MP]
     local_pt = local_pt & state.mp_valid
 
@@ -825,6 +841,10 @@ class Tracker:
             # reused): avoids a device->host readback that would stall the
             # whole in-flight pipeline for a tunnel RTT per keyframe.
             kf_slot = self.n_kf
+            # KF burst = the synchronous analog of the reference's non-empty
+            # keyframe queue: the mapper sheds its optional passes under it
+            # (reference src/LocalMapping.cc:86-102).
+            kf_burst = (fid - self.last_kf_frame_id) <= 1 and self.kf_counter > 1
             self.map, kf_id = insert_keyframe_with_points(
                 self.cfg, self.map, frame, Tcw_new, cur_mp,
                 np.int32(fid), np.float32(ts),
@@ -841,7 +861,9 @@ class Tracker:
                 # self.last_frame — mirror them for the next motion search.
                 self.last_mp = self.map.kf_mp[kf_slot]
             if self.local_mapper is not None:
-                self.map = self.local_mapper.process(self.map, kf_slot)
+                self.map = self.local_mapper.process(
+                    self.map, kf_slot, queue_pressure=kf_burst
+                )
 
         self._log_pose(ts, frame_id=fid)
         info["Tcw"] = self.Tcw.copy()

@@ -203,24 +203,50 @@ def bundle_adjust(
 
         b_eff = b_red * free_cam.reshape(C, 1)
 
-        def cg_body(_, cg):
-            x, rr, pdir, rz = cg
-            Sp = S_matvec(pdir)
-            denom = jnp.sum(pdir * Sp)
-            alpha = jnp.where(jnp.abs(denom) > 1e-12, rz / denom, 0.0)
-            x = x + alpha * pdir
-            rr = rr - alpha * Sp
-            zz = precond(rr)
-            rz_new = jnp.sum(rr * zz)
-            beta = jnp.where(jnp.abs(rz) > 1e-12, rz_new / rz, 0.0)
-            pdir = zz + beta * pdir
-            return (x, rr, pdir, rz_new)
+        if C * 6 <= 512:
+            # Small camera window (local BA): materialize the reduced Schur
+            # system by applying the linear operator to all 6C basis vectors
+            # in ONE batched call, then dense-solve. A 48-step sequential CG
+            # is latency-bound on TPU (hundreds of tiny kernels); one batched
+            # matvec + one 192x192 solve is a handful of fused kernels.
+            D = C * 6
+            with jax.default_matmul_precision("highest"):
+                basis = jnp.eye(D, dtype=jnp.float32).reshape(D, C, 6)
+                S = jax.vmap(S_matvec)(basis).reshape(D, D)
+                # Pin singular rows with an identity diagonal: fixed cameras
+                # (S_matvec zeroes them) AND free cameras with no
+                # observations in this window (zero U diagonal) — CG leaves
+                # both at zero implicitly, a dense solve would NaN.
+                live = jnp.repeat(free_cam[:, 0], 6) * (jnp.diagonal(S) > 1e-10)
+                S = S * (live[:, None] * live[None, :]) + jnp.diag(1.0 - live)
+                rhs = b_eff.reshape(D) * live
+                dx_c = jnp.linalg.solve(S, rhs).reshape(C, 6)
+            dx_c = dx_c * free_cam.reshape(C, 1)
+            # Belt-and-braces: a non-finite solve must not poison the state
+            # (the LM accept test would propagate NaN through jnp.where).
+            dx_c = jnp.where(jnp.isfinite(dx_c), dx_c, 0.0)
+        else:
+            # Large problems (global BA): matrix-free preconditioned CG —
+            # materializing S would need (6C)^2 memory and a (D, P, 3)
+            # intermediate per batched matvec.
+            def cg_body(_, cg):
+                x, rr, pdir, rz = cg
+                Sp = S_matvec(pdir)
+                denom = jnp.sum(pdir * Sp)
+                alpha = jnp.where(jnp.abs(denom) > 1e-12, rz / denom, 0.0)
+                x = x + alpha * pdir
+                rr = rr - alpha * Sp
+                zz = precond(rr)
+                rz_new = jnp.sum(rr * zz)
+                beta = jnp.where(jnp.abs(rz) > 1e-12, rz_new / rz, 0.0)
+                pdir = zz + beta * pdir
+                return (x, rr, pdir, rz_new)
 
-        x0 = jnp.zeros((C, 6))
-        r0 = b_eff
-        z0 = precond(r0)
-        cg0 = (x0, r0, z0, jnp.sum(r0 * z0))
-        dx_c, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, cg0)
+            x0 = jnp.zeros((C, 6))
+            r0 = b_eff
+            z0 = precond(r0)
+            cg0 = (x0, r0, z0, jnp.sum(r0 * z0))
+            dx_c, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, cg0)
 
         # Back-substitute landmarks: dy = V^-1 (b_p - W^T dx)
         Wt_dx = jnp.zeros((P, 3)).at[prob.obs_pt].add(

@@ -1,0 +1,113 @@
+"""KITTI-scale capacity validation on the real TPU chip.
+
+The reference runs KITTI 00 (4541 stereo frames, ~1300 keyframes after
+culling, ~140k landmarks). This drives the full tracker + local mapper at
+that static capacity (KF=1536, MP=262144) on a long synthetic sequence and
+reports sustained fps + map occupancy — proving the SoA capacities, the
+local-BA windows, and the per-frame kernels hold at dataset scale.
+
+Current state (measured single chip, through the tunnel):
+- tracking only:                 ~24 fps
+- + per-KF triangulation/culling: ~12 fps
+- + full mapping every 4th KF:   ~1.0-1.7 fps
+Mapper passes are bound by (KF x N) observation-table gathers/scatters
+(~60ms each at this capacity); the fix tracked for a later round is an
+incremental inverted observation index (point -> observer list) so
+geometry/count refreshes touch O(changed) rows instead of the full table.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/capacity_drive.py [--frames N]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from my_orb_slam2_tpu.utils.config import (
+        CameraConfig, CapacityConfig, OrbConfig, SlamConfig, Sensor, TrackingConfig,
+    )
+    from my_orb_slam2_tpu.utils.synthetic import SyntheticWorld, ate_rmse
+    from my_orb_slam2_tpu.models.tracking import Tracker, TrackingState
+    from my_orb_slam2_tpu.models.local_mapping import LocalMapper
+
+    n_frames = (
+        int(sys.argv[sys.argv.index("--frames") + 1]) if "--frames" in sys.argv else 150
+    )
+    cfg = SlamConfig(
+        sensor=Sensor.STEREO,
+        camera=CameraConfig(
+            fx=718.856, fy=718.856, cx=607.19, cy=185.21,  # KITTI 00 intrinsics
+            bf=386.1448, th_depth=35.0, width=1241, height=376,
+        ),
+        orb=OrbConfig(n_features=2000),  # KITTI settings use 2000 features
+        capacity=CapacityConfig(max_keyframes=1536, max_map_points=262144),
+        tracking=TrackingConfig(min_stereo_init_points=300, max_frames_between_kf=10),
+    )
+    CAP = 2048
+    # Long corridor of landmarks so the camera keeps seeing fresh structure
+    # (KITTI-like: driving forward through a street canyon).
+    world = SyntheticWorld(
+        cfg, n_landmarks=120000, seed=0, extent=(25.0, 8.0, 1200.0),
+        depth_range=(2.0, 1200.0),
+    )
+    poses = world.circular_trajectory(n_frames, forward_per_frame=0.8, yaw_per_frame=0.001)
+
+    # full_every=4: under KF bursts (every-frame insertion on open road) the
+    # optional passes (fuse + local BA + culling) run on every 4th keyframe,
+    # mirroring the reference's skip-while-queue-nonempty behavior.
+    mapper = LocalMapper(cfg, run_ba=True, cull_keyframes=True, full_every=4)
+    tracker = Tracker(cfg, CAP, local_mapper=mapper)
+    tracker.pipelined = True
+    tracker.pipeline_depth = 5
+
+    t_start = None
+    warmup = 20  # past the first FULL mapper pass so its compiles don't count
+    lost = 0
+    for i, Tcw in enumerate(poses):
+        if i == warmup:
+            tracker.flush()
+            t_start = time.perf_counter()
+        frame, _ = world.observe(Tcw, CAP, seed=10_000 + i)
+        info = tracker.track(frame, i / 10.0)
+        if info["state"] != TrackingState.OK and i > 0:
+            lost += 1
+    tracker.flush()
+    elapsed = time.perf_counter() - t_start
+    fps = (n_frames - warmup) / elapsed
+
+    m = tracker.map
+    n_kf = int(np.asarray(m.n_kf))
+    n_mp = int(np.asarray(m.mp_valid).sum())
+    traj = tracker.trajectory_poses()
+    est = np.stack([T for _, _, T, l in traj if not l])
+    ate = ate_rmse(est, poses[: len(est)])
+    print(
+        f"frames={n_frames} fps={fps:.1f} kfs={n_kf}/{cfg.capacity.max_keyframes} "
+        f"points={n_mp}/{cfg.capacity.max_map_points} lost={lost} "
+        f"ate={ate:.3f}m (path length {0.8 * n_frames:.0f}m)"
+    )
+    assert lost == 0, "tracking lost at capacity scale"
+    # Regression floor (see docstring for the current measured ladder).
+    assert fps >= 0.8, f"capacity-scale fps regressed: {fps}"
+    print("CAPACITY DRIVE OK")
+
+
+if __name__ == "__main__":
+    main()
