@@ -74,3 +74,38 @@ def test_distributed_pose_graph_matches_single(rng):
     dist = make_distributed_pose_graph(mesh)
     multi = dist(args[0], args[1], args[2], *pe, n_iters=15, fix_scale=True)
     np.testing.assert_allclose(np.asarray(single), np.asarray(multi), atol=2e-3)
+
+
+def test_distributed_frontend_matches_single():
+    """Batch-of-frames extraction sharded over the mesh must equal
+    per-image single-device extraction (embarrassingly parallel dp axis)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from my_orb_slam2_tpu.ops.frontend import OrbExtractor
+    from my_orb_slam2_tpu.parallel.dist_frontend import make_batch_extractor
+    from my_orb_slam2_tpu.utils.config import OrbConfig
+
+    H, W = 96, 128
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(8, H, W)).astype(np.uint8)
+    # blobs so FAST finds corners
+    for b in range(8):
+        for _ in range(30):
+            y, x = rng.integers(10, H - 10), rng.integers(10, W - 10)
+            imgs[b, y - 2 : y + 3, x - 2 : x + 3] = rng.integers(0, 255)
+
+    cfg = OrbConfig(n_features=64, n_levels=3)
+    ex = OrbExtractor(cfg, H, W)
+    mesh = jax.make_mesh((8,), ("batch",))
+    run = make_batch_extractor(mesh, ex)
+    kps = run(jnp.asarray(imgs))
+    uv = np.asarray(kps.uv)
+    valid = np.asarray(kps.valid)
+    desc = np.asarray(kps.desc)
+    for b in range(8):
+        ref, _ = ex(jnp.asarray(imgs[b], jnp.float32))
+        np.testing.assert_allclose(uv[b], np.asarray(ref.uv), atol=1e-4)
+        np.testing.assert_array_equal(valid[b], np.asarray(ref.valid))
+        np.testing.assert_array_equal(desc[b], np.asarray(ref.desc))
