@@ -72,10 +72,23 @@ def main():
     # full_every=4: under KF bursts (every-frame insertion on open road) the
     # optional passes (fuse + local BA + culling) run on every 4th keyframe,
     # mirroring the reference's skip-while-queue-nonempty behavior.
-    mapper = LocalMapper(cfg, run_ba=True, cull_keyframes=True, full_every=4)
-    tracker = Tracker(cfg, CAP, local_mapper=mapper)
-    tracker.pipelined = True
-    tracker.pipeline_depth = 5
+    if "--system" in sys.argv:
+        # Full SlamSystem: keyframe database (BoW inverted index), loop
+        # closer and relocalizer all instantiated at this capacity.
+        from my_orb_slam2_tpu.models.system import SlamSystem
+
+        system = SlamSystem(
+            cfg, use_images=False, capacity=CAP, pipeline_depth=5,
+        )
+        system.local_mapper.full_every = 4
+        tracker = system.tracker
+        track = lambda f, t: system.track_frame_data(f, t)
+    else:
+        mapper = LocalMapper(cfg, run_ba=True, cull_keyframes=True, full_every=4)
+        tracker = Tracker(cfg, CAP, local_mapper=mapper)
+        tracker.pipelined = True
+        tracker.pipeline_depth = 5
+        track = tracker.track
 
     t_start = None
     warmup = 20  # past the first FULL mapper pass so its compiles don't count
@@ -85,7 +98,7 @@ def main():
             tracker.flush()
             t_start = time.perf_counter()
         frame, _ = world.observe(Tcw, CAP, seed=10_000 + i)
-        info = tracker.track(frame, i / 10.0)
+        info = track(frame, i / 10.0)
         if info["state"] != TrackingState.OK and i > 0:
             lost += 1
     tracker.flush()
