@@ -148,7 +148,12 @@ def best_covisible(state: MapState, kf_id: jnp.ndarray, k: int):
     row = state.covis[kf_id]
     row = row * state.kf_valid
     row = row.at[kf_id].set(0)
-    w, ids = jax.lax.top_k(row, k)
+    KF = row.shape[0]
+    kk = min(k, KF)  # tiny-capacity maps: fewer slots than requested k
+    w, ids = jax.lax.top_k(row, kk)
+    if kk < k:
+        w = jnp.concatenate([w, jnp.zeros((k - kk,), w.dtype)])
+        ids = jnp.concatenate([ids, jnp.zeros((k - kk,), ids.dtype)])
     return jnp.where(w > 0, ids, INVALID), w
 
 
