@@ -679,8 +679,22 @@ def writeback_local_ba(cfg: SlamConfig, state: ms.MapState, prob: ba.BAProblem, 
     kf_mp = state.kf_mp.at[
         jnp.where(drop, aux["obs_kf"], KF), jnp.where(drop, aux["obs_slot"], 0)
     ].set(INVALID, mode="drop")
-    state = state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp)
-    state = ms.recount_observations(state)
+    # Incremental observation-count decrement for the dropped observations —
+    # the exact deltas are at hand; a global recount is a (KF x N) pass at
+    # dataset capacity.
+    gpt = jnp.take(aux["pt_ids"], prob.obs_pt)  # (O,) global point ids
+    dec = jnp.where(
+        state.kf_ur[jnp.where(drop, aux["obs_kf"], 0), jnp.where(drop, aux["obs_slot"], 0)] >= 0,
+        2,
+        1,
+    )
+    mp_n_obs = state.mp_n_obs.at[
+        jnp.where(drop & (gpt < MP), gpt, MP)
+    ].add(jnp.where(drop, -dec, 0), mode="drop")
+    mp_n_obs = jnp.maximum(mp_n_obs, 0)
+    state = state._replace(
+        kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp, mp_n_obs=mp_n_obs
+    )
     touched = jnp.zeros((MP,), bool).at[jnp.clip(aux["pt_ids"], 0, MP - 1)].set(ok_pt)
     state = ms.update_point_geometry(state, touched, cfg.orb.scale_factor, cfg.orb.n_levels)
     state = ms.refresh_covisibility(
@@ -749,6 +763,21 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
     # Detach: keyframe invalid, observations released, children re-homed to
     # the culled KF's parent (simplified re-homing vs the reference's greedy
     # candidate loop, src/KeyFrame.cc:467-559).
+    # Incremental observation-count decrement: the culled keyframes' own
+    # rows list exactly the observations being released (a global recount
+    # would be a (KF x N) pass at dataset capacity).
+    culled_rows = jnp.take(state.kf_mp, top_ids, axis=0)  # (MAXCAND, N)
+    culled_ok = (
+        red_top[:, None]
+        & (culled_rows >= 0)
+        & jnp.take(state.kf_kp_valid, top_ids, axis=0)
+    )
+    dec = jnp.where(jnp.take(state.kf_ur, top_ids, axis=0) >= 0, 2, 1)
+    mp_n_obs = state.mp_n_obs.at[
+        jnp.where(culled_ok, culled_rows, MP).reshape(-1)
+    ].add(jnp.where(culled_ok, -dec, 0).reshape(-1), mode="drop")
+    mp_n_obs = jnp.maximum(mp_n_obs, 0)
+
     kf_valid = state.kf_valid & ~red
     kf_mp = jnp.where(red[:, None], INVALID, state.kf_mp)
     parent_of = state.kf_parent
@@ -760,9 +789,9 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
     )
     covis = jnp.where(red[:, None] | red[None, :], 0, state.covis)
     state = state._replace(
-        kf_valid=kf_valid, kf_mp=kf_mp, kf_parent=new_parent, covis=covis
+        kf_valid=kf_valid, kf_mp=kf_mp, kf_parent=new_parent, covis=covis,
+        mp_n_obs=mp_n_obs,
     )
-    state = ms.recount_observations(state)
     return state, culled_mask
 
 
