@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--realtime", action="store_true", help="pace input at dataset fps")
     ap.add_argument("--pipeline", type=int, default=3,
                     help="tracking pipeline depth (0 = synchronous)")
+    ap.add_argument("--viz", default=None, metavar="DIR",
+                    help="dump annotated frames + top-down map PNGs here "
+                         "(the headless Viewer/FrameDrawer/MapDrawer analog)")
+    ap.add_argument("--viz-every", type=int, default=10)
     args = ap.parse_args()
 
     if args.kind == "tum-rgbd":
@@ -79,6 +83,31 @@ def main():
             print(f"frame {i}: state={info['state']} "
                   f"inliers={info.get('localmap_inliers', '-')} {dt*1000:.0f}ms",
                   flush=True)
+        if args.viz and i % args.viz_every == 0:
+            import os
+
+            from my_orb_slam2_tpu.utils import viz
+
+            os.makedirs(args.viz, exist_ok=True)
+            tr = system.tracker
+            gray = frame[0] if args.kind != "tum-mono" else frame[0]
+            img = np.asarray(gray)
+            if img.ndim == 3:
+                img = img.mean(axis=-1).astype(np.uint8)
+            fr = tr.last_frame
+            if fr is not None:
+                cur = np.asarray(tr.last_mp)
+                canvas = viz.draw_frame(
+                    img, np.asarray(fr.uv), cur >= 0, np.asarray(fr.valid),
+                    state_text=f"frame {i} state={info['state']}",
+                )
+                viz.save_png(os.path.join(args.viz, f"frame_{i:06d}.png"), canvas)
+            m = tr.map
+            topdown = viz.render_map_topdown(
+                np.asarray(m.mp_pos), np.asarray(m.mp_valid),
+                np.asarray(m.kf_Tcw), np.asarray(m.kf_valid),
+            )
+            viz.save_png(os.path.join(args.viz, f"map_{i:06d}.png"), topdown)
 
     system.shutdown()
     system.save_trajectory_tum("CameraTrajectory.txt")

@@ -235,22 +235,70 @@ class SlamSystem:
 
     # -- map persistence (reference TODO System.h:116-118) -----------------
 
-    def save_map(self, path: str):
-        m = self.tracker.map
+    def save_map(self, path: str, include_session: bool = True):
+        """Snapshot the map + BoW database (+ optionally the live tracking
+        session: trajectory log, pose, ids) to one npz. The reference left
+        SaveMap as a TODO (include/System.h:116-118); here it doubles as a
+        checkpoint enabling restarts mid-sequence."""
+        tr = self.tracker
+        tr.flush()
+        m = tr.map
         arrays = {f: np.asarray(getattr(m, f)) for f in m._fields}
         db_arrays = {f"db_{f}": np.asarray(getattr(self.db, f)) for f in self.db._fields}
-        np.savez_compressed(path, **arrays, **db_arrays)
+        sess = {}
+        if include_session:
+            traj = tr.trajectory
+            sess = {
+                "sess_scalars": np.asarray(
+                    [tr.state, tr.frame_id, tr.last_kf_frame_id, tr.ref_kf,
+                     tr.n_kf, tr.kf_counter, tr.last_reloc_frame_id],
+                    np.int64,
+                ),
+                "sess_Tcw": tr.Tcw,
+                "sess_ref_pose": getattr(tr, "_ref_pose_host", np.eye(4, dtype=np.float32)),
+                "sess_traj_fid": np.asarray([t[0] for t in traj], np.int64),
+                "sess_traj_ts": np.asarray([t[1] for t in traj], np.float64),
+                "sess_traj_ref": np.asarray([t[2] for t in traj], np.int64),
+                "sess_traj_Trel": (
+                    np.stack([t[3] for t in traj]) if traj else np.zeros((0, 4, 4), np.float32)
+                ),
+                "sess_traj_lost": np.asarray([t[4] for t in traj], bool),
+            }
+        np.savez_compressed(path, **arrays, **db_arrays, **sess)
 
     def load_map(self, path: str):
         data = np.load(path)
         m = self.tracker.map
-        self.tracker.map = ms.MapState(
-            **{f: jnp.asarray(data[f]) for f in m._fields}
-        )
+        tr = self.tracker
+        tr.map = ms.MapState(**{f: jnp.asarray(data[f]) for f in m._fields})
         self.db = kdb.KfDatabase(
             **{f: jnp.asarray(data[f"db_{f}"]) for f in self.db._fields}
         )
-        self.tracker.n_kf = int(self.tracker.map.n_kf)
+        tr.n_kf = int(tr.map.n_kf)
+        if "sess_scalars" in data:
+            s = data["sess_scalars"]
+            tr.state = int(s[0])
+            tr.frame_id = int(s[1])
+            tr.last_kf_frame_id = int(s[2])
+            tr.ref_kf = int(s[3])
+            tr.n_kf = int(s[4])
+            tr.kf_counter = int(s[5])
+            tr.last_reloc_frame_id = int(s[6])
+            tr.reset_motion(data["sess_Tcw"])
+            tr._ref_pose_host = data["sess_ref_pose"]
+            tr.trajectory = [
+                (int(f), float(t), int(r), T, bool(l))
+                for f, t, r, T, l in zip(
+                    data["sess_traj_fid"], data["sess_traj_ts"],
+                    data["sess_traj_ref"], data["sess_traj_Trel"],
+                    data["sess_traj_lost"],
+                )
+            ]
+            # Resuming mid-run: the motion model and last-frame association
+            # are gone — continue via reference-KF tracking / relocalization,
+            # exactly like the reference after a tracking gap.
+            if tr.state == TrackingState.OK:
+                tr.state = TrackingState.LOST
 
     # -- stats -------------------------------------------------------------
 

@@ -238,3 +238,35 @@ def test_system_pipelined_tracking():
     a_sync = run(0)
     a_pipe = run(3)
     assert a_pipe < max(2 * a_sync, 0.05), (a_sync, a_pipe)
+
+
+def test_checkpoint_resume_mid_sequence():
+    """Full session checkpoint: save mid-run, restore into a fresh system,
+    continue the sequence — relocalizes against the loaded map and the
+    trajectory log covers both halves (reference SaveMap/LoadMap was a TODO;
+    this is the restart capability it was meant for)."""
+    cfg = loop_cfg(max_kf=64)
+    world = SyntheticWorld(cfg, n_landmarks=6000, seed=13)
+    poses = world.circular_trajectory(16, forward_per_frame=0.1)
+    sys1 = SlamSystem(cfg, use_images=False, capacity=CAP, enable_loop_closing=False)
+    for i, Tcw in enumerate(poses[:10]):
+        frame, _ = world.observe(Tcw, CAP, seed=1300 + i)
+        info = sys1.track_frame_data(frame, i / 30.0)
+        assert info["state"] == TrackingState.OK
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "ckpt.npz")
+    sys1.save_map(path)
+
+    sys2 = SlamSystem(cfg, use_images=False, capacity=CAP, enable_loop_closing=False)
+    sys2.load_map(path)
+    assert sys2.tracker.frame_id == 10
+    assert sys2.tracker.kf_counter == sys1.tracker.kf_counter
+    for i, Tcw in enumerate(poses[10:]):
+        frame, _ = world.observe(Tcw, CAP, seed=1310 + i)
+        info = sys2.track_frame_data(frame, (10 + i) / 30.0)
+        assert info["state"] == TrackingState.OK, (10 + i, info)
+    traj = sys2.tracker.trajectory_poses()
+    assert len(traj) >= 16, len(traj)
+    est = np.stack([T for _, _, T, lost in traj if not lost])
+    ate = ate_rmse(est, poses[: len(est)])
+    assert ate < 0.1, ate
