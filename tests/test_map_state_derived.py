@@ -1,0 +1,170 @@
+"""Unit tests for the derived-state refreshes against brute-force reference
+computations (these were rewritten for dataset-scale capacity: bitmask covis
+refresh, scatter-based ref-octave, incremental counts)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from my_orb_slam2_tpu.models import map_state as ms
+from my_orb_slam2_tpu.utils.config import SlamConfig, CameraConfig, CapacityConfig, Sensor
+
+
+def make_state(seed=0, KF_cap=24, MP_cap=512, N=48, n_alive=14):
+    cfg = SlamConfig(
+        sensor=Sensor.STEREO,
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0),
+        capacity=CapacityConfig(max_keyframes=KF_cap, max_map_points=MP_cap),
+    )
+    rng = np.random.default_rng(seed)
+    state = ms.init_map_state(cfg, N)
+    KF, _ = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    kf_mp = rng.integers(-1, MP, size=(KF, N)).astype(np.int32)
+    kp_valid = rng.random((KF, N)) > 0.2
+    kf_valid = np.zeros(KF, bool)
+    kf_valid[:n_alive] = True
+    # random (valid) poses: identity + small offsets
+    kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (KF, 1, 1))
+    kf_Tcw[:, :3, 3] = rng.normal(0, 1.0, (KF, 3))
+    mp_pos = rng.normal(0, 3.0, (MP, 3)).astype(np.float32)
+    mp_pos[:, 2] += 10
+    state = state._replace(
+        kf_mp=jnp.asarray(kf_mp),
+        kf_kp_valid=jnp.asarray(kp_valid),
+        kf_valid=jnp.asarray(kf_valid),
+        kf_Tcw=jnp.asarray(kf_Tcw),
+        kf_octave=jnp.asarray(rng.integers(0, 8, (KF, N)).astype(np.int32)),
+        kf_ur=jnp.asarray(np.where(rng.random((KF, N)) > 0.5, 100.0, -1.0).astype(np.float32)),
+        mp_pos=jnp.asarray(mp_pos),
+        mp_valid=jnp.ones(MP, bool),
+        mp_ref_kf=jnp.asarray(rng.integers(0, n_alive, MP).astype(np.int32)),
+    )
+    return state, rng
+
+
+def test_refresh_covisibility_matches_bruteforce():
+    state, rng = make_state()
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    kf_mp = np.asarray(state.kf_mp)
+    kp_valid = np.asarray(state.kf_kp_valid)
+    kf_valid = np.asarray(state.kf_valid)
+    ids = np.array([3, 7, -1, 5, 11], np.int32)
+    out = ms.refresh_covisibility(state, jnp.asarray(ids))
+    covis = np.asarray(out.covis)
+
+    def brute_row(k):
+        pts = set(kf_mp[k][(kf_mp[k] >= 0) & kp_valid[k]])
+        row = np.zeros(KF, np.int64)
+        for k2 in range(KF):
+            if not kf_valid[k2]:
+                continue
+            row[k2] = sum(
+                1 for n in range(N)
+                if kp_valid[k2, n] and kf_mp[k2, n] >= 0 and kf_mp[k2, n] in pts
+            )
+        row[k] = 0
+        return row
+
+    for k in [3, 7, 5, 11]:
+        expect = brute_row(k)
+        got = covis[k]
+        # later-written rows overwrite shared cells symmetrically; check the
+        # cells not shared with other refreshed rows exactly
+        others = {3, 7, 5, 11} - {k}
+        mask = np.ones(KF, bool)
+        for o in others:
+            mask[o] = False
+        np.testing.assert_array_equal(got[mask], expect[mask])
+    # untouched rows receive only the symmetric column updates
+    mask2 = np.ones(KF, bool)
+    for o in (3, 5, 7, 11):
+        mask2[o] = False
+    assert covis[2][mask2].sum() == 0
+
+
+def test_refresh_covisibility_over_32_rows_chunked():
+    state, _ = make_state(KF_cap=48, n_alive=40)
+    ids = jnp.asarray(np.arange(40, dtype=np.int32))  # > 32 -> two chunks
+    out = ms.refresh_covisibility(state, ids)
+    covis = np.asarray(out.covis)
+    # symmetric + zero diagonal
+    np.testing.assert_array_equal(covis, covis.T)
+    assert (np.diag(covis) == 0).all()
+
+
+def test_update_point_geometry_ref_octave_and_normals():
+    state, rng = make_state()
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    out = ms.update_point_geometry(state, jnp.ones(MP, bool), 1.2, 8)
+    kf_mp = np.asarray(state.kf_mp)
+    kp_valid = np.asarray(state.kf_kp_valid)
+    kf_valid = np.asarray(state.kf_valid)
+    kf_oct = np.asarray(state.kf_octave)
+    ref = np.asarray(state.mp_ref_kf)
+    Tcw = np.asarray(state.kf_Tcw)
+    pos = np.asarray(state.mp_pos)
+    Ow = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Tcw])
+
+    # brute force for a sample of points
+    max_d = np.asarray(out.mp_max_dist)
+    normal = np.asarray(out.mp_normal)
+    checked = 0
+    for p in rng.integers(0, MP, 64):
+        obs = [
+            (k, n)
+            for k in range(KF)
+            if kf_valid[k]
+            for n in range(N)
+            if kp_valid[k, n] and kf_mp[k, n] == p
+        ]
+        if not obs:
+            continue
+        dirs = []
+        for k, n in obs:
+            d = pos[p] - Ow[k]
+            dirs.append(d / np.linalg.norm(d))
+        m = np.mean(dirs, axis=0)
+        m = m / np.linalg.norm(m)
+        np.testing.assert_allclose(normal[p], m, atol=1e-4)
+        # ref-KF octave ring: max octave among ref-KF observations (0 if none)
+        ref_obs = [kf_oct[k, n] for k, n in obs if k == ref[p]]
+        oct_ref = max(ref_obs) if ref_obs else 0
+        dist = np.linalg.norm(pos[p] - Ow[ref[p]])
+        np.testing.assert_allclose(max_d[p], dist * 1.2 ** oct_ref, rtol=1e-5)
+        checked += 1
+    assert checked >= 10
+
+
+def test_incremental_counts_match_recount_after_culling():
+    """keyframe_culling's incremental decrements must agree with a full
+    recount."""
+    import jax
+
+    from my_orb_slam2_tpu.models import local_mapping as lm
+    from my_orb_slam2_tpu.utils.config import (
+        SlamConfig, CameraConfig, CapacityConfig, TrackingConfig, Sensor,
+    )
+    from my_orb_slam2_tpu.utils.synthetic import SyntheticWorld
+    from my_orb_slam2_tpu.models.tracking import Tracker
+
+    cfg = SlamConfig(
+        sensor=Sensor.STEREO,
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0, th_depth=40.0),
+        capacity=CapacityConfig(max_keyframes=32, max_map_points=4096),
+        tracking=TrackingConfig(min_stereo_init_points=100, max_frames_between_kf=1),
+    )
+    CAP = 256
+    world = SyntheticWorld(cfg, n_landmarks=3000, seed=3)
+    poses = world.circular_trajectory(10, forward_per_frame=0.02)  # tiny motion -> redundant KFs
+    mapper = lm.LocalMapper(cfg, run_ba=False, cull_keyframes=True)
+    tracker = Tracker(cfg, CAP, local_mapper=mapper)
+    for i, Tcw in enumerate(poses):
+        frame, _ = world.observe(Tcw, CAP, seed=400 + i)
+        tracker.track(frame, i / 30.0)
+    m = tracker.map
+    recounted = ms.recount_observations(m)
+    np.testing.assert_array_equal(
+        np.asarray(m.mp_n_obs), np.asarray(recounted.mp_n_obs)
+    )
