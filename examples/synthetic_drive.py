@@ -26,7 +26,7 @@ cfg = SlamConfig(
 )
 CAP = 512
 world = SyntheticWorld(cfg, n_landmarks=6000, seed=0)
-poses = world.circular_trajectory(n_frames, forward_per_frame=0.12, yaw_per_frame=0.004)
+poses = world.circular_trajectory(n_frames, forward_per_frame=0.12, yaw_per_frame=0.012)
 mapper = LocalMapper(cfg, run_ba=True, cull_keyframes=True)
 tracker = Tracker(cfg, CAP, local_mapper=mapper)
 est = []

@@ -108,18 +108,26 @@ def detect_loop_candidates(
     db: KfDatabase,
     state: ms.MapState,
     kf_id,
-    min_score,
     max_candidates: int = 8,
 ):
     """Loop candidates for keyframe kf_id (already inserted in db).
 
-    Returns (cand_ids (C,), cand_scores (C,)): -1 padded, best first.
+    The min-score floor (lowest BoW score vs the covisible neighbors,
+    reference src/LoopClosing.cc:140-154) is computed here from the same
+    all-keyframes score pass — one device dispatch instead of up to 10
+    sequential score_between calls per keyframe.
+
+    Returns (cand_ids (C,), cand_scores (C,), min_score): -1 padded, best
+    first.
     """
     words = db.kf_words[kf_id]
     valid = words >= 0
     scores, shared = _query_scores(db, words, valid)
+    # Min score over covisible neighbors (weight >= 15); 1.0 when none.
+    connected = (state.covis[kf_id] >= 15) & state.kf_valid & db.kf_valid
+    min_score = jnp.min(jnp.where(connected, scores, jnp.inf))
+    min_score = jnp.where(jnp.isfinite(min_score), min_score, 1.0)
     # Exclude self + covisible keyframes (reference :88-92).
-    connected = state.covis[kf_id] >= 15
     excl = connected | (jnp.arange(scores.shape[0]) == kf_id)
     shared = jnp.where(excl, 0, shared)
     scores = jnp.where(excl, -1.0, scores)
@@ -154,7 +162,7 @@ def detect_loop_candidates(
     # dedup: a keyframe may be best of several groups — scatter max.
     per_kf = jnp.full((KF,), -1.0).at[best_of_group].max(cand_score)
     top_sc, top_id = jax.lax.top_k(per_kf, max_candidates)
-    return jnp.where(top_sc > 0, top_id, -1), top_sc
+    return jnp.where(top_sc > 0, top_id, -1), top_sc, min_score
 
 
 @functools.partial(jax.jit, static_argnames=("max_candidates",))

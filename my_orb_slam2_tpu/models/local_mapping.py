@@ -288,6 +288,21 @@ def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbor
     obs_add = obs_add.at[jnp.where(wired, slots, MP)].add(inc1)
     obs_add = obs_add.at[jnp.where(can_wire, slots, MP)].add(inc2)
     state = state._replace(mp_n_obs=state.mp_n_obs + obs_add[:MP])
+    # Inverted-index rows for the new points: entry 0 = (kf_id, slot i),
+    # entry 1 = the neighbor observation when its row slot was free.
+    K = state.mp_obs_kf.shape[1]
+    slot_ids = jnp.arange(N, dtype=jnp.int32)
+    e_kf = jnp.full((N, K), INVALID, jnp.int32)
+    e_slot = jnp.full((N, K), INVALID, jnp.int32)
+    e_kf = e_kf.at[:, 0].set(jnp.where(wired, kf_id, INVALID))
+    e_slot = e_slot.at[:, 0].set(jnp.where(wired, slot_ids, INVALID))
+    e_kf = e_kf.at[:, 1].set(jnp.where(can_wire, nid, INVALID))
+    e_slot = e_slot.at[:, 1].set(jnp.where(can_wire, sel_idx2, INVALID))
+    tgt = jnp.where(wired, slots, MP)
+    state = state._replace(
+        mp_obs_kf=state.mp_obs_kf.at[tgt].set(e_kf, mode="drop"),
+        mp_obs_slot=state.mp_obs_slot.at[tgt].set(e_slot, mode="drop"),
+    )
     return state, jnp.sum(wired)
 
 
@@ -382,22 +397,32 @@ def fuse_neighbors(
     src_mask = jnp.zeros((MP,), bool).at[candA].set(candA_ok)
 
     def dir_a(carry, t):
-        state_kf_mp, mp_n_obs, replace_map = carry
+        state_kf_mp, mp_n_obs, obs_kf, obs_slot, replace_map, n_over = carry
         tkf = jnp.maximum(tgt_ids[t], 0)
         ok_t = tgt_ids[t] >= 0
-        idx, ok = fuse_search(candA, candA_ok & ok_t, tkf)
-        ok = ok & ok_t
+        # Skip candidates the target already observes (reference Fuse:
+        # pMP->IsInKeyFrame(pKF) -> continue, src/ORBmatcher.cc:901).
+        already_in = jnp.any(obs_kf[candA] == tkf, axis=1)
+        idx, ok = fuse_search(candA, candA_ok & ok_t & ~already_in, tkf)
+        ok = ok & ok_t & ~already_in
         # existing observation at the matched keypoint
         existing = jnp.take(state_kf_mp[tkf], idx)  # (N,)
         pid = candA
-        # add observation where keypoint free
+        # add observation where keypoint free (candA pids are unique, so
+        # obs_add_pairs' uniqueness requirement holds per iteration)
         add = ok & (existing < 0)
+        obs_kf, obs_slot, did, nov = ms.obs_add_pairs(
+            obs_kf, obs_slot, jnp.where(add, pid, INVALID),
+            jnp.full((N,), 0, jnp.int32) + tkf, idx, add,
+        )
         row = state_kf_mp[tkf]
-        row = row.at[jnp.where(add, idx, 0)].max(jnp.where(add, pid, -1))
+        row = row.at[jnp.where(did, idx, N)].set(
+            jnp.where(did, pid, INVALID), mode="drop"
+        )
         state_kf_mp = state_kf_mp.at[tkf].set(jnp.where(ok_t, row, state_kf_mp[tkf]))
         inc = jnp.where(jnp.take(state.kf_ur[tkf], idx) >= 0, 2, 1)
-        mp_n_obs = mp_n_obs.at[jnp.where(add, pid, MP)].add(
-            jnp.where(add, inc, 0), mode="drop"
+        mp_n_obs = mp_n_obs.at[jnp.where(did, pid, MP)].add(
+            jnp.where(did, inc, 0), mode="drop"
         )
         # replace where keypoint already has a different point
         conflict = ok & (existing >= 0) & (existing != pid)
@@ -411,14 +436,18 @@ def fuse_neighbors(
         replace_map = replace_map.at[jnp.where(upd, loser, 0)].set(
             jnp.where(upd, winner, replace_map[0])
         )
-        return (state_kf_mp, mp_n_obs, replace_map), 0
+        return (state_kf_mp, mp_n_obs, obs_kf, obs_slot, replace_map, n_over + nov), 0
 
-    (kf_mp_new, mp_n_obs_new, replace_map), _ = jax.lax.scan(
+    (kf_mp_new, mp_n_obs_new, obs_kf, obs_slot, replace_map, n_over), _ = jax.lax.scan(
         dir_a,
-        (state.kf_mp, state.mp_n_obs, replace_map),
+        (state.kf_mp, state.mp_n_obs, state.mp_obs_kf, state.mp_obs_slot,
+         replace_map, jnp.zeros((), jnp.int32)),
         jnp.arange(n_targets),
     )
-    state = state._replace(kf_mp=kf_mp_new, mp_n_obs=mp_n_obs_new)
+    state = state._replace(
+        kf_mp=kf_mp_new, mp_n_obs=mp_n_obs_new,
+        mp_obs_kf=obs_kf, mp_obs_slot=obs_slot,
+    )
 
     # Direction B: targets' points into kf_id (single pass, union of the
     # target rows dedup'd through an MP mask, frustum-gated against kf_id,
@@ -435,18 +464,30 @@ def fuse_neighbors(
         cam.fx, cam.fy, cam.cx, cam.cy, 0.0, float(cam.width), 0.0, float(cam.height),
     )
     in_view = tgt_mask_rows & okf_all
+    state = state._replace(
+        cap_overflow=state.cap_overflow
+        + jnp.maximum(jnp.sum(in_view, dtype=jnp.int32) - max_cand_b, 0)
+    )
     candB = jnp.nonzero(in_view, size=min(max_cand_b, MP), fill_value=MP)[0]
     candB_ok = candB < MP
     candB = jnp.clip(candB, 0, MP - 1)
+    # Skip points kf_id already observes (reference Fuse IsInKeyFrame gate).
+    candB_ok = candB_ok & ~jnp.any(state.mp_obs_kf[candB] == kf_id, axis=1)
     idx, ok = fuse_search(candB, candB_ok, kf_id)
     existing = jnp.take(state.kf_mp[kf_id], idx)
     pid = candB
     add = ok & (existing < 0)
+    obs_kf, obs_slot, did, novB = ms.obs_add_pairs(
+        state.mp_obs_kf, state.mp_obs_slot, jnp.where(add, pid, INVALID),
+        jnp.full(pid.shape, 0, jnp.int32) + kf_id, idx, add,
+    )
     row = state.kf_mp[kf_id]
-    row = row.at[jnp.where(add, idx, 0)].max(jnp.where(add, pid, -1))
+    row = row.at[jnp.where(did, idx, N)].set(
+        jnp.where(did, pid, INVALID), mode="drop"
+    )
     inc = jnp.where(jnp.take(state.kf_ur[kf_id], idx) >= 0, 2, 1)
-    n_obs = state.mp_n_obs.at[jnp.where(add, pid, MP)].add(
-        jnp.where(add, inc, 0), mode="drop"
+    n_obs = state.mp_n_obs.at[jnp.where(did, pid, MP)].add(
+        jnp.where(did, inc, 0), mode="drop"
     )
     conflict = ok & (existing >= 0) & (existing != pid)
     ex = jnp.where(conflict, existing, 0)
@@ -458,7 +499,9 @@ def fuse_neighbors(
         jnp.where(upd, winner, replace_map[0])
     )
     state = state._replace(
-        kf_mp=state.kf_mp.at[kf_id].set(row), mp_n_obs=n_obs
+        kf_mp=state.kf_mp.at[kf_id].set(row), mp_n_obs=n_obs,
+        mp_obs_kf=obs_kf, mp_obs_slot=obs_slot,
+        obs_overflow=state.obs_overflow + n_over + novB,
     )
 
     # --- apply replacements globally (MapPoint::Replace) ------------------
@@ -470,11 +513,7 @@ def fuse_neighbors(
     for _ in range(3):
         replace_map = jnp.take(replace_map, replace_map)
     replaced = replace_map != jnp.arange(MP)
-    kf_mp = state.kf_mp
-    kf_mp = jnp.where(kf_mp >= 0, jnp.take(replace_map, jnp.clip(kf_mp, 0, MP - 1)), kf_mp)
     state = state._replace(
-        kf_mp=kf_mp,
-        mp_valid=state.mp_valid & ~replaced,
         mp_found=state.mp_found
         + jnp.zeros((MP,), jnp.int32).at[jnp.where(replaced, replace_map, 0)].add(
             jnp.where(replaced, state.mp_found, 0)
@@ -484,7 +523,7 @@ def fuse_neighbors(
             jnp.where(replaced, state.mp_visible, 0)
         ),
     )
-    state = ms.recount_observations(state)
+    state = _apply_replacements(state, replace_map, replaced)
     # covisibility rows of the touched KFs (loop detection depends on these)
     upd_kfs = jnp.concatenate([jnp.array([kf_id], jnp.int32), tgt_ids])
     state = ms.refresh_covisibility(state, upd_kfs)
@@ -492,10 +531,126 @@ def fuse_neighbors(
         # point geometry (normals + scale rings) — skipped when local BA's
         # writeback immediately follows: BA moves the points, so it must
         # recompute geometry anyway; doing it here too would double the
-        # (KF x N)-bound epilogue passes
-        touched = src_mask | tgt_mask_rows
-        state = ms.update_point_geometry(state, touched, cfg.orb.scale_factor, cfg.orb.n_levels)
+        # epilogue passes
+        touched = (src_mask | tgt_mask_rows) & state.mp_valid
+        state = ms.update_point_geometry(
+            state, touched, cfg.orb.scale_factor, cfg.orb.n_levels,
+            max_touched=max_cand_b + N,
+        )
     return state
+
+
+def _apply_replacements(state, replace_map, replaced, max_losers: int = 4096):
+    """MapPoint::Replace over the inverted index (reference
+    src/MapPoint.cc:Replace): migrate every loser observation to its winner,
+    EXCEPT where the winner already observes that keyframe — there the
+    keypoint match is erased instead (reference EraseMapPointMatch branch).
+    O(losers x K), entry-exact on both index directions.
+
+    replace_map must be chain-resolved (loser -> final winner, winners map
+    to themselves)."""
+    MP = replace_map.shape[0]
+    KF, N = state.kf_mp.shape
+    K = state.mp_obs_kf.shape[1]
+    lids = jnp.nonzero(replaced, size=min(max_losers, MP), fill_value=MP)[0]
+    l_ok = lids < MP
+    lc = jnp.clip(lids, 0, MP - 1)
+    win = jnp.take(replace_map, lc)  # (L,) final winners (never losers)
+    win_c = jnp.clip(win, 0, MP - 1)
+    L = lids.shape[0]
+
+    obs_kf, obs_slot = state.mp_obs_kf, state.mp_obs_slot
+    # Compact winner rows so (entry count) == (first free position).
+    obs_kf, obs_slot = ms.obs_compact_rows(obs_kf, obs_slot, win, l_ok)
+
+    # Capture loser entries, then clear loser rows.
+    E_kf = obs_kf[lc]  # (L, K)
+    E_slot = obs_slot[lc]
+    e_ok = l_ok[:, None] & (E_kf >= 0)
+    empty = jnp.full((L, K), INVALID, jnp.int32)
+    obs_kf = obs_kf.at[jnp.where(l_ok, lids, MP)].set(empty, mode="drop")
+    obs_slot = obs_slot.at[jnp.where(l_ok, lids, MP)].set(empty, mode="drop")
+
+    # Winner already observes this keyframe -> erase the keypoint match.
+    W_kf = obs_kf[win_c]  # (L, K)
+    dup_exist = jnp.any(
+        E_kf[:, :, None] == jnp.where(W_kf >= 0, W_kf, -2)[:, None, :], axis=2
+    )
+    erase = e_ok & dup_exist
+    kf_mp = state.kf_mp.at[
+        jnp.where(erase, E_kf, KF), jnp.where(erase, E_slot, 0)
+    ].set(INVALID, mode="drop")
+
+    # Candidate migrations, deduped per (winner, keyframe): two losers may
+    # both have observed the same keyframe — only one survives; the other's
+    # keypoint match is erased.
+    cand = (e_ok & ~dup_exist).reshape(-1)  # (L*K,)
+    f_w = jnp.broadcast_to(win[:, None], (L, K)).reshape(-1)
+    f_kf = E_kf.reshape(-1)
+    f_slot = E_slot.reshape(-1)
+    f_w_m = jnp.where(cand, f_w, MP)
+    f_kf_m = jnp.where(cand, f_kf, KF)
+    # Stable two-pass sort == lexsort by (winner, keyframe).
+    o1 = jnp.argsort(f_kf_m, stable=True)
+    o2 = jnp.argsort(f_w_m[o1], stable=True)
+    order = o1[o2]
+    sw = f_w_m[order]
+    skf = f_kf_m[order]
+    sslot = f_slot[order]
+    svalid = sw < MP
+    prev_same = jnp.concatenate(
+        [jnp.array([False]), (sw[1:] == sw[:-1]) & (skf[1:] == skf[:-1])]
+    )
+    acc = svalid & ~prev_same  # accepted migration candidates
+    dup_add = svalid & prev_same  # dropped duplicate -> erase keypoint match
+
+    # Rank of each accepted migration within its winner run.
+    E = L * K
+    lin = jnp.arange(E, dtype=jnp.int32)
+    cum = jnp.cumsum(acc.astype(jnp.int32))  # inclusive
+    run_start = jnp.full((MP + 1,), E, jnp.int32).at[sw].min(lin)
+    rs = jnp.take(run_start, jnp.where(svalid, sw, MP))
+    base = jnp.where(rs > 0, jnp.take(cum, jnp.clip(rs - 1, 0, E - 1)), 0)
+    base = jnp.where(rs > 0, base, 0)
+    rank = cum - 1 - base
+    # Insert position = winner's current entry count + rank.
+    wcnt = jnp.sum(obs_kf[jnp.clip(sw, 0, MP - 1)] >= 0, axis=1)
+    j = wcnt + rank
+    fits = j < K
+    accept = acc & fits
+    over = acc & ~fits
+
+    # Writes: accepted -> winner's row + kf_mp = winner; rejected -> erase.
+    obs_kf = obs_kf.at[
+        jnp.where(accept, sw, MP), jnp.clip(j, 0, K - 1)
+    ].set(skf, mode="drop")
+    obs_slot = obs_slot.at[
+        jnp.where(accept, sw, MP), jnp.clip(j, 0, K - 1)
+    ].set(sslot, mode="drop")
+    kf_mp = kf_mp.at[
+        jnp.where(svalid, skf, KF), jnp.where(svalid, sslot, 0)
+    ].set(jnp.where(accept, sw, INVALID), mode="drop")
+
+    # Exact observation-count deltas: winners gain the migrated
+    # observations; losers zero out (no global recount needed).
+    inc = jnp.where(
+        state.kf_ur[jnp.clip(skf, 0, KF - 1), jnp.clip(sslot, 0, N - 1)] >= 0,
+        2, 1,
+    )
+    mp_n_obs = state.mp_n_obs.at[jnp.where(accept, sw, MP)].add(
+        jnp.where(accept, inc, 0), mode="drop"
+    )
+    mp_n_obs = jnp.where(replaced, 0, mp_n_obs)
+
+    return state._replace(
+        kf_mp=kf_mp,
+        mp_obs_kf=obs_kf,
+        mp_obs_slot=obs_slot,
+        mp_n_obs=mp_n_obs,
+        mp_valid=state.mp_valid & ~replaced,
+        obs_overflow=state.obs_overflow
+        + jnp.sum(over | dup_add, dtype=jnp.int32),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -674,15 +829,18 @@ def writeback_local_ba(cfg: SlamConfig, state: ms.MapState, prob: ba.BAProblem, 
     tgt_pt = jnp.where(ok_pt, aux["pt_ids"], MP)
     mp_pos = state.mp_pos.at[tgt_pt].set(prob.pt_pos, mode="drop")
     # Outlier observations: obs that were valid going in but failed the
-    # final chi2 classification.
+    # final chi2 classification. Dropped from kf_mp, the inverted index and
+    # the counts with exact deltas — no global recount.
     drop = aux["obs_valid"] & ~final_mask
     kf_mp = state.kf_mp.at[
         jnp.where(drop, aux["obs_kf"], KF), jnp.where(drop, aux["obs_slot"], 0)
     ].set(INVALID, mode="drop")
-    # Incremental observation-count decrement for the dropped observations —
-    # the exact deltas are at hand; a global recount is a (KF x N) pass at
-    # dataset capacity.
     gpt = jnp.take(aux["pt_ids"], prob.obs_pt)  # (O,) global point ids
+    mp_obs_kf, mp_obs_slot = ms.obs_remove_pairs(
+        state.mp_obs_kf, state.mp_obs_slot,
+        jnp.where(drop & (gpt < MP), gpt, INVALID),
+        aux["obs_kf"], aux["obs_slot"], drop,
+    )
     dec = jnp.where(
         state.kf_ur[jnp.where(drop, aux["obs_kf"], 0), jnp.where(drop, aux["obs_slot"], 0)] >= 0,
         2,
@@ -693,10 +851,12 @@ def writeback_local_ba(cfg: SlamConfig, state: ms.MapState, prob: ba.BAProblem, 
     ].add(jnp.where(drop, -dec, 0), mode="drop")
     mp_n_obs = jnp.maximum(mp_n_obs, 0)
     state = state._replace(
-        kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp, mp_n_obs=mp_n_obs
+        kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp, mp_n_obs=mp_n_obs,
+        mp_obs_kf=mp_obs_kf, mp_obs_slot=mp_obs_slot,
     )
-    touched = jnp.zeros((MP,), bool).at[jnp.clip(aux["pt_ids"], 0, MP - 1)].set(ok_pt)
-    state = ms.update_point_geometry(state, touched, cfg.orb.scale_factor, cfg.orb.n_levels)
+    state = ms.update_point_geometry_ids(
+        state, aux["pt_ids"], ok_pt, cfg.orb.scale_factor, cfg.orb.n_levels
+    )
     state = ms.refresh_covisibility(
         state, jnp.where(aux["cam_ok"], aux["cam_ids"], -1)
     )
@@ -718,20 +878,15 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
     KF, N = state.kf_mp.shape
     MP = state.mp_pos.shape[0]
     L = cfg.orb.n_levels
-    # Observation octave histogram per point: cnt[p, l].
-    obs_ok = (state.kf_mp >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
-    p_flat = jnp.where(obs_ok, state.kf_mp, MP).reshape(-1)
-    l_flat = state.kf_octave.reshape(-1)
-    cnt = jnp.zeros((MP + 1, L), jnp.int32).at[p_flat, jnp.clip(l_flat, 0, L - 1)].add(
-        obs_ok.reshape(-1).astype(jnp.int32)
-    )[:MP]
-    cnt_cum = jnp.cumsum(cnt, axis=1)  # observers at octave <= l
 
     # Candidates: covisible neighbors of kf_id (not kf_id itself, not 0).
     cand_mask = (state.covis[kf_id] > 0) & state.kf_valid
     cand_mask = cand_mask.at[0].set(False).at[kf_id].set(False)
 
     def redundancy(k):
+        """A keyframe is redundant if >=90% of its (close) tracked points
+        have >=3 OTHER observers at the same-or-finer octave — counted
+        straight off each point's observer list (O(N x K))."""
         row = state.kf_mp[k]
         ok = (row >= 0) & state.kf_kp_valid[k]
         # stereo/RGB-D only counts close points (reference :728-733)
@@ -739,9 +894,16 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
             ok = ok & (state.kf_depth[k] > 0) & (
                 state.kf_depth[k] < cfg.camera.close_depth
             )
-        p = jnp.where(ok, row, MP - 1)
-        lvl = jnp.clip(state.kf_octave[k] + 1, 0, L - 1)
-        n_fine = cnt_cum[p, lvl] - 1  # exclude this KF's own observation
+        pc = jnp.clip(row, 0, MP - 1)
+        orows_kf = state.mp_obs_kf[pc]  # (N, K)
+        orows_slot = state.mp_obs_slot[pc]
+        e = ok[:, None] & (orows_kf >= 0) & (orows_kf != k)
+        oct_o = state.kf_octave[
+            jnp.clip(orows_kf, 0, KF - 1), jnp.clip(orows_slot, 0, N - 1)
+        ]
+        own = state.kf_octave[k]
+        fine = e & (oct_o <= own[:, None] + 1)
+        n_fine = jnp.sum(fine, axis=1)
         redundant = ok & (n_fine >= cfg.mapping.kf_cull_min_obs)
         n_ok = jnp.sum(ok)
         return jnp.where(
@@ -752,36 +914,21 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
 
     # Only the covisible neighbors are candidates (reference iterates
     # GetVectorCovisibleKeyFrames, src/LocalMapping.cc:712) — evaluate the
-    # redundancy test on the top-K of those instead of vmapping all KF
-    # slots ((KF x N) gathers at dataset capacity).
+    # redundancy test on the top-K of those.
     MAXCAND = min(32, KF)
     cand_w = jnp.where(cand_mask, state.covis[kf_id], 0)
     top_w, top_ids = jax.lax.top_k(cand_w, MAXCAND)
     red_top = jax.vmap(redundancy)(top_ids) & (top_w > 0)
     red = jnp.zeros((KF,), bool).at[top_ids].set(red_top)
     culled_mask = red
-    # Detach: keyframe invalid, observations released, children re-homed to
-    # the culled KF's parent (simplified re-homing vs the reference's greedy
+    # Detach: drop the culled keyframes' observations from the inverted
+    # index + counts (exact deltas), invalidate, re-home children to the
+    # culled KF's parent (simplified re-homing vs the reference's greedy
     # candidate loop, src/KeyFrame.cc:467-559).
-    # Incremental observation-count decrement: the culled keyframes' own
-    # rows list exactly the observations being released (a global recount
-    # would be a (KF x N) pass at dataset capacity).
-    culled_rows = jnp.take(state.kf_mp, top_ids, axis=0)  # (MAXCAND, N)
-    culled_ok = (
-        red_top[:, None]
-        & (culled_rows >= 0)
-        & jnp.take(state.kf_kp_valid, top_ids, axis=0)
-    )
-    dec = jnp.where(jnp.take(state.kf_ur, top_ids, axis=0) >= 0, 2, 1)
-    mp_n_obs = state.mp_n_obs.at[
-        jnp.where(culled_ok, culled_rows, MP).reshape(-1)
-    ].add(jnp.where(culled_ok, -dec, 0).reshape(-1), mode="drop")
-    mp_n_obs = jnp.maximum(mp_n_obs, 0)
-
+    state = ms.erase_keyframe_observations(state, top_ids, red_top)
     kf_valid = state.kf_valid & ~red
     kf_mp = jnp.where(red[:, None], INVALID, state.kf_mp)
     parent_of = state.kf_parent
-    culled_parent = jnp.where(red, parent_of, jnp.arange(KF))
     new_parent = jnp.where(
         (parent_of >= 0) & jnp.take(red, jnp.maximum(parent_of, 0)),
         jnp.take(parent_of, jnp.maximum(parent_of, 0)),
@@ -790,8 +937,56 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
     covis = jnp.where(red[:, None] | red[None, :], 0, state.covis)
     state = state._replace(
         kf_valid=kf_valid, kf_mp=kf_mp, kf_parent=new_parent, covis=covis,
-        mp_n_obs=mp_n_obs,
     )
+    return state, culled_mask
+
+
+# ---------------------------------------------------------------------------
+# Fused per-keyframe passes (one device dispatch each)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_neighbors"), donate_argnames=("state",)
+)
+def light_pass(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbors: int):
+    """Per-keyframe mandatory passes in ONE dispatch: map-point culling +
+    triangulation (reference runs these on every keyframe regardless of
+    queue pressure, src/LocalMapping.cc:75-85)."""
+    state = map_point_culling.__wrapped__(cfg, state, kf_id)
+    state, n_new = create_new_map_points.__wrapped__(
+        cfg, state, kf_id, n_neighbors=n_neighbors
+    )
+    return state, n_new
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "run_ba", "cull"), donate_argnames=("state",)
+)
+def full_pass(cfg: SlamConfig, state: ms.MapState, kf_id,
+              run_ba: bool = True, cull: bool = True):
+    """The optional mapper passes in ONE dispatch: neighbor fuse, local BA,
+    keyframe culling (reference runs these when its queue is empty,
+    src/LocalMapping.cc:86-102). Fusing them removes 6+ tunnel dispatches
+    per keyframe and lets XLA overlap the stages."""
+    cam = cfg.camera
+    # geometry refresh inside fuse is redundant when BA's writeback follows
+    # (BA moves the points and refreshes geometry itself)
+    state = fuse_neighbors.__wrapped__(
+        cfg, state, kf_id, refresh_derived=not run_ba
+    )
+    if run_ba:
+        prob, aux = extract_local_ba.__wrapped__(cfg, state, kf_id)
+        prob, final_mask = ba.local_ba(
+            prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            iters1=cfg.mapping.local_ba_iters1,
+            iters2=cfg.mapping.local_ba_iters2,
+        )
+        state = writeback_local_ba.__wrapped__(cfg, state, prob, aux, final_mask)
+    if cull:
+        state, culled_mask = keyframe_culling.__wrapped__(cfg, state, kf_id)
+    else:
+        culled_mask = jnp.zeros(state.kf_valid.shape, bool)
     return state, culled_mask
 
 
@@ -844,13 +1039,12 @@ class LocalMapper:
     ) -> ms.MapState:
         cfg = self.cfg
         kf = jnp.int32(kf_id)
-        state = map_point_culling(cfg, state, kf)
         n_neigh = (
             cfg.mapping.triangulation_neighbors_mono
             if cfg.sensor.name == "MONOCULAR"
             else cfg.mapping.triangulation_neighbors_stereo
         )
-        state, n_new = create_new_map_points(cfg, state, kf, n_neighbors=n_neigh)
+        state, n_new = light_pass(cfg, state, kf, n_neigh)
         self._created.append(n_new)
         self._since_full += 1
         do_full = (not queue_pressure) or self._since_full >= self.full_every
@@ -858,19 +1052,11 @@ class LocalMapper:
             self.last_culled_mask = None
             return state
         self._since_full = 0
-        state = fuse_neighbors(cfg, state, kf)
-        if self.run_ba and kf_id >= 2:
-            cam = cfg.camera
-            prob, aux = extract_local_ba(cfg, state, kf)
-            prob, final_mask = ba.local_ba(
-                prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-                iters1=cfg.mapping.local_ba_iters1,
-                iters2=cfg.mapping.local_ba_iters2,
-            )
-            state = writeback_local_ba(cfg, state, prob, aux, final_mask)
+        run_ba = self.run_ba and kf_id >= 2
+        state, culled_mask = full_pass(cfg, state, kf, run_ba=run_ba, cull=self.cull)
+        if run_ba:
             self._ba_runs += 1
         if self.cull:
-            state, culled_mask = keyframe_culling(cfg, state, kf)
             # Exposed so the owning pipeline can sync the keyframe database
             # (reference SetBadFlag -> KeyFrameDatabase::erase).
             self.last_culled_mask = culled_mask

@@ -94,17 +94,45 @@ def match_and_sim3(cfg: SlamConfig, state: ms.MapState, kf_cur, kf_cand, key):
         cam.fx, cam.fy, cam.cx, cam.cy,
         n_iters=128, fix_scale=fix_scale,
     )
-    # Sim3 LM refinement on RANSAC inliers.
+
+    # Guided SearchBySim3 rematch (reference src/LoopClosing.cc:372-380 via
+    # src/ORBmatcher.cc:1158-1390): mutual projection under the RANSAC Sim3
+    # fills match slots the BoW join missed, before the LM refinement.
+    sf_tab = jnp.asarray([sf ** l for l in range(cfg.orb.n_levels)], jnp.float32)
+    p2_slot_w = jnp.take(state.mp_pos, jnp.maximum(mp_d, 0), axis=0)
+    idx_g, ok_g, _ = matching.search_by_sim3(
+        p_cur_w, ok_c, state.kf_desc[kf_cur],
+        p2_slot_w, ok_d, state.kf_desc[kf_cand],
+        T_c, T_d, rs["S12"],
+        uv1, oct1, state.kf_uv[kf_cand], state.kf_octave[kf_cand],
+        sf_tab, cam.fx, cam.fy, cam.cx, cam.cy,
+    )
+    # BoW matches keep their slot; guided matches fill vacant ones
+    # (reference: SearchBySim3 only writes empty vpMapPointMatches entries).
+    idx_m = jnp.where(mok, idx, idx_g)
+    ok_m = mok | (ok_g & ok_c & ~mok)
+
+    # Re-gather the candidate-side quantities for the merged match set.
+    p_cand_m = jnp.take(
+        state.mp_pos, jnp.maximum(jnp.take(mp_d, idx_m), 0), axis=0
+    )
+    p2_m = lie.se3_apply(T_d, p_cand_m)
+    uv2_m = jnp.take(state.kf_uv[kf_cand], idx_m, axis=0)
+    oct2_m = jnp.take(state.kf_octave[kf_cand], idx_m)
+
+    # Sim3 LM refinement on the merged matches (5 -> prune -> 10 schedule
+    # with Huber classifies the guided additions, reference OptimizeSim3).
     inv_s1 = 1.0 / jnp.take(sigma2, oct1)
-    inv_s2_ = 1.0 / jnp.take(sigma2, oct2)
+    inv_s2_ = 1.0 / jnp.take(sigma2, oct2_m)
     opt = sim3_opt.optimize_sim3(
-        rs["S12"], p1, p2, uv1, uv2, inv_s1, inv_s2_,
-        rs["inliers"], cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=fix_scale,
+        rs["S12"], p1, p2_m, uv1, uv2_m, inv_s1, inv_s2_,
+        ok_m, cam.fx, cam.fy, cam.cx, cam.cy,
+        fix_scale=fix_scale,
     )
     ok = (n_matches >= cfg.loop.sim3_min_bow_matches) & (
         opt["n_inliers"] >= cfg.loop.sim3_min_inliers
     )
-    return ok, opt["S12"], opt["n_inliers"], idx, mok & opt["inliers"]
+    return ok, opt["S12"], opt["n_inliers"], idx_m, ok_m & opt["inliers"]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -162,6 +190,120 @@ def count_loop_point_matches(cfg: SlamConfig, state: ms.MapState, kf_cur, kf_can
     return jnp.sum(okm), loop_pts, kp_match
 
 
+def _search_and_fuse_group(
+    cfg: SlamConfig, state: ms.MapState, kf_cur, group, loop_pt_mask,
+    n_members: int = 16, max_loop_pts: int = 4096,
+):
+    """Project loop-side map points into each corrected-group keyframe and
+    fuse (reference SearchAndFuse, src/LoopClosing.cc:698-727 +
+    ORBmatcher::Fuse): a free keypoint gains the loop point as observation;
+    a conflicting keypoint's point is REPLACED by the loop point globally.
+    """
+    from my_orb_slam2_tpu.models.local_mapping import _apply_replacements
+    from my_orb_slam2_tpu.ops.projection import frustum_check, predict_scale
+
+    cam = cfg.camera
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    sf = cfg.orb.scale_factor
+    sf_tab = jnp.asarray([sf ** l for l in range(cfg.orb.n_levels)], jnp.float32)
+    log_sf = float(np.log(sf))
+
+    cand = jnp.nonzero(
+        loop_pt_mask & state.mp_valid, size=min(max_loop_pts, MP), fill_value=MP
+    )[0]
+    cand_ok0 = cand < MP
+    cand = jnp.clip(cand, 0, MP - 1)
+
+    # Group members by covisibility weight with the current keyframe
+    # (current KF first).
+    g_w = jnp.where(group, state.covis[kf_cur] + 1, 0)
+    g_w = g_w.at[kf_cur].set(jnp.iinfo(jnp.int32).max)
+    gw, gids = jax.lax.top_k(g_w, min(n_members, KF))
+    g_ok = gw > 0
+
+    pos = jnp.take(state.mp_pos, cand, axis=0)
+    nrm = jnp.take(state.mp_normal, cand, axis=0)
+    dmin = jnp.take(state.mp_min_dist, cand) * 0.8
+    dmax = jnp.take(state.mp_max_dist, cand) * 1.2
+    desc = jnp.take(state.mp_desc, cand, axis=0)
+
+    def member(carry, t):
+        kf_mp_all, mp_n_obs, obs_kf, obs_slot, replace_map, n_over = carry
+        g = jnp.maximum(gids[t], 0)
+        ok_g = g_ok[t]
+        already = jnp.any(obs_kf[cand] == g, axis=1)
+        c_ok = cand_ok0 & ok_g & ~already
+        T = state.kf_Tcw[g]
+        okf, uvp, zp, distp, _ = frustum_check(
+            T, pos, nrm, dmin, dmax,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            0.0, float(cam.width), 0.0, float(cam.height),
+        )
+        pred_lvl = predict_scale(distp, dmax, log_sf, cfg.orb.n_levels)
+        radius = 4.0 * jnp.take(sf_tab, pred_lvl)  # th=4 (reference :711)
+        urp = uvp[:, 0] - cam.bf / jnp.where(zp > 1e-6, zp, 1e9)
+        idx, okm, _ = matching.search_by_projection(
+            uvp, pred_lvl, c_ok & okf, desc, radius,
+            state.kf_uv[g], state.kf_octave[g], state.kf_kp_valid[g],
+            state.kf_desc[g],
+            kp_ur=state.kf_ur[g], pred_ur=urp,
+            level_lo=pred_lvl - 1, level_hi=pred_lvl + 1,
+            max_dist=float(cfg.matcher.th_low), ratio=1.0,
+        )
+        existing = jnp.take(kf_mp_all[g], idx)
+        add = okm & (existing < 0)
+        obs_kf, obs_slot, did, nov = ms.obs_add_pairs(
+            obs_kf, obs_slot, jnp.where(add, cand, INVALID),
+            jnp.full(cand.shape, 0, jnp.int32) + g, idx, add,
+        )
+        row = kf_mp_all[g]
+        row = row.at[jnp.where(did, idx, N)].set(
+            jnp.where(did, cand, INVALID), mode="drop"
+        )
+        kf_mp_all = kf_mp_all.at[g].set(jnp.where(ok_g, row, kf_mp_all[g]))
+        inc = jnp.where(jnp.take(state.kf_ur[g], idx) >= 0, 2, 1)
+        mp_n_obs = mp_n_obs.at[jnp.where(did, cand, MP)].add(
+            jnp.where(did, inc, 0), mode="drop"
+        )
+        # conflict: the loop point replaces the existing point globally
+        conflict = okm & (existing >= 0) & (existing != cand)
+        replace_map = replace_map.at[jnp.where(conflict, existing, 0)].set(
+            jnp.where(conflict, cand, replace_map[0])
+        )
+        return (kf_mp_all, mp_n_obs, obs_kf, obs_slot, replace_map, n_over + nov), 0
+
+    replace_map0 = jnp.arange(MP, dtype=jnp.int32)
+    (kf_mp, mp_n_obs, obs_kf, obs_slot, replace_map, n_over), _ = jax.lax.scan(
+        member,
+        (state.kf_mp, state.mp_n_obs, state.mp_obs_kf, state.mp_obs_slot,
+         replace_map0, jnp.zeros((), jnp.int32)),
+        jnp.arange(gids.shape[0]),
+    )
+    state = state._replace(
+        kf_mp=kf_mp, mp_n_obs=mp_n_obs,
+        mp_obs_kf=obs_kf, mp_obs_slot=obs_slot,
+        obs_overflow=state.obs_overflow + n_over,
+    )
+    for _ in range(3):
+        replace_map = jnp.take(replace_map, replace_map)
+    replaced = replace_map != jnp.arange(MP)
+    # merge found/visible counters into the winner (MapPoint::Replace)
+    state = state._replace(
+        mp_found=state.mp_found
+        + jnp.zeros((MP,), jnp.int32).at[jnp.where(replaced, replace_map, 0)].add(
+            jnp.where(replaced, state.mp_found, 0)
+        ),
+        mp_visible=state.mp_visible
+        + jnp.zeros((MP,), jnp.int32).at[jnp.where(replaced, replace_map, 0)].add(
+            jnp.where(replaced, state.mp_visible, 0)
+        ),
+    )
+    state = _apply_replacements(state, replace_map, replaced)
+    state = ms.refresh_covisibility(state, jnp.where(g_ok, gids, -1))
+    return state
+
+
 # ---------------------------------------------------------------------------
 # Loop correction
 # ---------------------------------------------------------------------------
@@ -192,6 +334,7 @@ def correct_loop_state(
     fix_scale = cfg.sensor.name != "MONOCULAR"
 
     pre_Tcw = state.kf_Tcw  # snapshot for edge measurements + remapping
+    pre_covis = state.covis  # pre-fusion connectivity (new-connection test)
     T_cur = state.kf_Tcw[kf_cur]
     T_cand = state.kf_Tcw[kf_cand]
     Scw_corr = lie.sim3_mul(S_cur_cand, T_cand)  # corrected current pose
@@ -235,17 +378,47 @@ def correct_loop_state(
     state = state._replace(mp_pos=mp_pos, kf_Tcw=kf_Tcw)
 
     # Replace current keypoints' points with matched loop points
-    # (reference :615-630: loop point wins).
+    # (reference :615-630: loop point wins). Skipped where the loop point
+    # already observes kf_cur (would duplicate the per-KF observation).
     row = state.kf_mp[kf_cur]
-    new_row = jnp.where(kp_loop_match >= 0, kp_loop_match, row)
-    replaced = (kp_loop_match >= 0) & (row >= 0) & (row != kp_loop_match)
-    # tombstone the replaced duplicates
-    dead = jnp.zeros((MP,), bool).at[jnp.where(replaced, row, 0)].set(replaced)
+    wc = jnp.clip(kp_loop_match, 0, MP - 1)
+    already = jnp.any(state.mp_obs_kf[wc] == kf_cur, axis=1)
+    do_rep = (
+        (kp_loop_match >= 0)
+        & ~already
+        & state.kf_kp_valid[kf_cur]
+        & (row != kp_loop_match)
+    )
+    # tombstone the replaced duplicates (clears their observations
+    # everywhere, including this row's slots)
+    dead = jnp.zeros((MP,), bool).at[
+        jnp.where(do_rep & (row >= 0), row, 0)
+    ].set(do_rep & (row >= 0))
+    N_row = row.shape[0]
+    state = ms.erase_map_points(state, dead, max_kill=N_row)
+    # wire loop points into the row + index (winners unique per keypoint)
+    new_row = jnp.where(do_rep, kp_loop_match, state.kf_mp[kf_cur])
+    obs_kf, obs_slot, did, nov = ms.obs_add_pairs(
+        state.mp_obs_kf, state.mp_obs_slot,
+        jnp.where(do_rep, kp_loop_match, ms.INVALID),
+        jnp.full((N_row,), 0, jnp.int32) + kf_cur,
+        jnp.arange(N_row, dtype=jnp.int32), do_rep,
+    )
+    new_row = jnp.where(do_rep & ~did, ms.INVALID, new_row)
     state = state._replace(
         kf_mp=state.kf_mp.at[kf_cur].set(new_row),
-        mp_valid=state.mp_valid & ~dead,
+        mp_obs_kf=obs_kf,
+        mp_obs_slot=obs_slot,
+        obs_overflow=state.obs_overflow + nov,
     )
     state = ms.recount_observations(state)
+
+    # --- SearchAndFuse: project the loop-side points into EVERY corrected
+    # keyframe and fuse (reference src/LoopClosing.cc:698-727, th=4; the
+    # loop point always wins a conflict via MapPoint::Replace). ------------
+    state = _search_and_fuse_group(
+        cfg, state, kf_cur, group, loop_pt_mask
+    )
 
     # Loop edge + refreshed covisibility for the current keyframe.
     state = ms.refresh_covisibility(
@@ -267,15 +440,22 @@ def correct_loop_state(
         pre_Tcw,
         min_weight=cfg.loop.essential_graph_min_weight,
     )
-    # Override measurements for edges touching the current group with the
-    # corrected relative poses (the loop edge constraint carries through
-    # S_corrected; reference feeds CorrectedSim3 as vScw for group members).
+    # Measurement override ONLY for NEW loop connections — edges with a
+    # corrected-group endpoint that did NOT exist before the loop fusion
+    # (reference CorrectLoop :645-665 builds LoopConnections as post-fusion
+    # covis minus previous neighbors minus group members; those edges get
+    # corrected vScw measurements in OptimizeEssentialGraph while spanning
+    # tree/old covis edges keep NonCorrectedSim3 — the accumulated drift
+    # stays as residual the optimizer distributes around the loop).
     def fix_meas(a, b, sji):
-        both_group = group[a] | group[b]
+        new_conn = (group[a] | group[b]) & (pre_covis[a, b] < 15) & ~(
+            group[a] & group[b]
+        )
+        cross = new_conn | loop_edges[a, b]
         S_a = jnp.where(group[a], S_corrected[a], pre_Tcw[a])
         S_b = jnp.where(group[b], S_corrected[b], pre_Tcw[b])
         corr = lie.sim3_mul(S_b, lie.sim3_inverse(S_a))
-        return jnp.where(both_group, corr, sji)
+        return jnp.where(cross, corr, sji)
 
     Sji = jax.vmap(fix_meas)(ei, ej, Sji)
 
@@ -388,18 +568,11 @@ class LoopCloser:
         if int(db.n_docs) < cfg.loop.min_kfs_since_last_loop:
             return state, False
 
-        # min score vs covisible neighbors (reference :140-154).
-        covis_row = np.asarray(state.covis[kf_id])
-        neigh = np.nonzero((covis_row >= 15) & np.asarray(state.kf_valid))[0]
-        if len(neigh) == 0:
-            return state, False
-        min_score = 1.0
-        for nkf in neigh[:10]:
-            s = float(kdb.score_between(db, jnp.int32(kf_id), jnp.int32(int(nkf))))
-            min_score = min(min_score, s)
-
-        ids, scores = kdb.detect_loop_candidates(
-            db, state, jnp.int32(kf_id), jnp.float32(min_score)
+        # One dispatch: BoW scores vs all keyframes, min-score floor over the
+        # covisible neighbors, shared-word/accumulated-group gating
+        # (reference :140-208).
+        ids, scores, _min_score = kdb.detect_loop_candidates(
+            db, state, jnp.int32(kf_id)
         )
         ids = [int(i) for i in np.asarray(ids) if i >= 0]
         if not ids:

@@ -9,15 +9,26 @@ functions:
   replacing MapPoint::SetBadFlag lazy deletion).
 - KeyFrames: poses + the full per-keyframe feature block (the Frame snapshot
   that reference KeyFrame::KeyFrame copies, src/KeyFrame.cc:31-57).
-- Observations: `kf_mp[k, i]` = map-point id seen by keypoint slot i of
-  keyframe k (-1 if none). This one array *is* the observation graph: the
-  covisibility weights (shared-point counts, reference
-  KeyFrame::UpdateConnections src/KeyFrame.cc:301-393) and the per-point
-  observation lists are both derived from it by segment reductions.
+- Observations, both directions:
+  * forward:  `kf_mp[k, i]` = map-point id seen by keypoint slot i of
+    keyframe k (-1 if none) — the reference's per-KF mvpMapPoints.
+  * inverted: `mp_obs_kf[p, j]` / `mp_obs_slot[p, j]` = the j-th observer
+    (keyframe id, keypoint slot) of point p (-1 empty) — the reference's
+    MapPoint::mObservations map, kept as fixed-K slots per point.
+  The inverted index is maintained INCREMENTALLY by every mutation, so the
+  derived-state refreshes (covisibility rows, viewing normals/scale rings,
+  observation counts, keyframe-culling redundancy) touch O(changed x K)
+  entries instead of scanning the full (KF x N) observation table per
+  keyframe — the difference between ~1 fps and real-time at KITTI capacity.
 - Covisibility: dense (KF, KF) weight matrix, updated incrementally one row
-  per inserted keyframe.
+  per touched keyframe.
 - Spanning tree: parent id per keyframe (reference mpParent); loop edges as
   a boolean matrix.
+
+Invariant (checked by tests/test_obs_index.py): {(k, i) : kf_mp[k, i] == p,
+kf_valid[k], kf_kp_valid[k, i]} == {entries of mp_obs_kf/slot row p}, for
+every valid point p. Observations that would overflow a point's K-slot row
+are dropped from BOTH sides and counted in `obs_overflow`.
 
 Capacities come from `CapacityConfig`; every function is shape-static.
 """
@@ -48,6 +59,10 @@ class MapState(NamedTuple):
     mp_first_kf: jnp.ndarray  # (MP,) i32 creating keyframe id
     mp_ref_kf: jnp.ndarray  # (MP,) i32 reference keyframe id
 
+    # --- inverted observation index (capacity K_OBS per point) ---
+    mp_obs_kf: jnp.ndarray  # (MP, K) i32 observing keyframe id (-1 empty)
+    mp_obs_slot: jnp.ndarray  # (MP, K) i32 keypoint slot in that keyframe
+
     # --- KeyFrames (capacity KF, feature capacity N per KF) ---
     kf_Tcw: jnp.ndarray  # (KF, 4, 4) f32 world->camera
     kf_valid: jnp.ndarray  # (KF,) bool
@@ -70,11 +85,16 @@ class MapState(NamedTuple):
     # --- counters (device scalars) ---
     n_kf: jnp.ndarray  # () i32 number of keyframe slots ever used
     next_mp: jnp.ndarray  # () i32 monotonic map-point id hint
+    obs_overflow: jnp.ndarray  # () i32 observations dropped (K-slot full)
+    cap_overflow: jnp.ndarray  # () i32 candidates dropped at static-bound
+    # compactions (local-map search, fuse direction B) — silent-degradation
+    # telemetry, exposed by drivers/bench
 
 
 def init_map_state(cfg: SlamConfig, n_kp: int) -> MapState:
     MP = cfg.capacity.max_map_points
     KF = cfg.capacity.max_keyframes
+    K = cfg.capacity.max_obs_per_point
     N = n_kp
     f32, i32 = jnp.float32, jnp.int32
     return MapState(
@@ -89,6 +109,8 @@ def init_map_state(cfg: SlamConfig, n_kp: int) -> MapState:
         mp_found=jnp.zeros((MP,), i32),
         mp_first_kf=jnp.full((MP,), INVALID, i32),
         mp_ref_kf=jnp.full((MP,), INVALID, i32),
+        mp_obs_kf=jnp.full((MP, K), INVALID, i32),
+        mp_obs_slot=jnp.full((MP, K), INVALID, i32),
         kf_Tcw=jnp.tile(jnp.eye(4, dtype=f32), (KF, 1, 1)),
         kf_valid=jnp.zeros((KF,), bool),
         kf_frame_id=jnp.full((KF,), INVALID, i32),
@@ -106,11 +128,124 @@ def init_map_state(cfg: SlamConfig, n_kp: int) -> MapState:
         loop_edges=jnp.zeros((KF, KF), bool),
         n_kf=jnp.zeros((), i32),
         next_mp=jnp.zeros((), i32),
+        obs_overflow=jnp.zeros((), i32),
+        cap_overflow=jnp.zeros((), i32),
     )
 
 
 # ---------------------------------------------------------------------------
-# Derived quantities
+# Inverted observation index primitives
+# ---------------------------------------------------------------------------
+
+
+def rebuild_obs_index(state: MapState) -> MapState:
+    """Recompute the inverted index from kf_mp (full (KF x N) pass).
+
+    Used at load time, after monocular initialization's bulk wiring, and by
+    tests as the ground truth. Overflowing observations (more than K
+    observers for a point) are dropped from kf_mp too so the invariant
+    holds.
+    """
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    K = state.mp_obs_kf.shape[1]
+    ok = (state.kf_mp >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+    pid = jnp.where(ok, state.kf_mp, MP).reshape(-1)  # (KF*N,)
+    order = jnp.argsort(pid, stable=True)
+    sp = pid[order]
+    E = KF * N
+    first = jnp.full((MP + 1,), E, jnp.int32).at[sp].min(
+        jnp.arange(E, dtype=jnp.int32)
+    )
+    rank = jnp.arange(E, dtype=jnp.int32) - jnp.take(first, sp)
+    keep = (sp < MP) & (rank < K)
+    kf_of = (order // N).astype(jnp.int32)
+    slot_of = (order % N).astype(jnp.int32)
+    tgt = jnp.where(keep, sp, MP)
+    mp_obs_kf = jnp.full((MP, K), INVALID, jnp.int32).at[
+        tgt, jnp.where(keep, rank, 0)
+    ].set(kf_of, mode="drop")
+    mp_obs_slot = jnp.full((MP, K), INVALID, jnp.int32).at[
+        tgt, jnp.where(keep, rank, 0)
+    ].set(slot_of, mode="drop")
+    # Overflowed observations: drop from kf_mp to keep the two sides equal.
+    over = (sp < MP) & (rank >= K)
+    kf_mp = state.kf_mp.reshape(-1).at[
+        jnp.where(over, order, E)
+    ].set(INVALID, mode="drop").reshape(KF, N)
+    state = state._replace(
+        mp_obs_kf=mp_obs_kf,
+        mp_obs_slot=mp_obs_slot,
+        kf_mp=kf_mp,
+        obs_overflow=state.obs_overflow + jnp.sum(over, dtype=jnp.int32),
+    )
+    return recount_observations(state)
+
+
+def obs_add_pairs(mp_obs_kf, mp_obs_slot, pid, kf, slot, mask):
+    """Append observations (kf, slot) to the index rows of `pid`.
+
+    REQUIRES pids to be unique within the batch (each point gains at most
+    one observation per call). Returns (mp_obs_kf, mp_obs_slot, did (Q,),
+    n_overflow): `did` is False where the row was full (observation dropped)
+    or mask was False.
+    """
+    MP, K = mp_obs_kf.shape
+    pc = jnp.clip(pid, 0, MP - 1)
+    rows = mp_obs_kf[pc]  # (Q, K)
+    free = rows < 0
+    has = jnp.any(free, axis=1)
+    j = jnp.argmax(free, axis=1)
+    okp = mask & (pid >= 0) & (pid < MP)
+    did = okp & has
+    tgt = jnp.where(did, pid, MP)
+    mp_obs_kf = mp_obs_kf.at[tgt, j].set(kf, mode="drop")
+    mp_obs_slot = mp_obs_slot.at[tgt, j].set(slot, mode="drop")
+    return mp_obs_kf, mp_obs_slot, did, jnp.sum(okp & ~has, dtype=jnp.int32)
+
+
+def obs_remove_pairs(mp_obs_kf, mp_obs_slot, pid, kf, slot, mask):
+    """Remove observations (kf, slot) from the index rows of `pid`.
+
+    pids may repeat (each (pid, kf, slot) triple identifies one entry).
+    """
+    MP, K = mp_obs_kf.shape
+    pc = jnp.clip(pid, 0, MP - 1)
+    rows_kf = mp_obs_kf[pc]
+    rows_slot = mp_obs_slot[pc]
+    hit = (
+        mask[:, None]
+        & (pid >= 0)[:, None]
+        & (pid < MP)[:, None]
+        & (rows_kf == kf[:, None])
+        & (rows_slot == slot[:, None])
+    )
+    tgt = jnp.where(hit, pc[:, None], MP)
+    cols = jnp.broadcast_to(jnp.arange(K)[None, :], hit.shape)
+    mp_obs_kf = mp_obs_kf.at[tgt, cols].set(INVALID, mode="drop")
+    mp_obs_slot = mp_obs_slot.at[tgt, cols].set(INVALID, mode="drop")
+    return mp_obs_kf, mp_obs_slot
+
+
+def obs_compact_rows(mp_obs_kf, mp_obs_slot, pid, mask):
+    """Compact the index rows of `pid` (valid entries first, holes at the
+    end) so ranked multi-append can use entry counts as insert positions.
+    Duplicate pids in the batch are harmless (idempotent)."""
+    MP, K = mp_obs_kf.shape
+    pc = jnp.clip(pid, 0, MP - 1)
+    rows_kf = mp_obs_kf[pc]
+    rows_slot = mp_obs_slot[pc]
+    order = jnp.argsort(rows_kf < 0, axis=1, stable=True)
+    rows_kf = jnp.take_along_axis(rows_kf, order, axis=1)
+    rows_slot = jnp.take_along_axis(rows_slot, order, axis=1)
+    tgt = jnp.where(mask & (pid >= 0) & (pid < MP), pid, MP)
+    mp_obs_kf = mp_obs_kf.at[tgt].set(rows_kf, mode="drop")
+    mp_obs_slot = mp_obs_slot.at[tgt].set(rows_slot, mode="drop")
+    return mp_obs_kf, mp_obs_slot
+
+
+# ---------------------------------------------------------------------------
+# Derived quantities (all index-based: O(touched x K))
 # ---------------------------------------------------------------------------
 
 
@@ -119,15 +254,79 @@ def covis_row(state: MapState, mp_assign: jnp.ndarray) -> jnp.ndarray:
 
     mp_assign: (N,) map-point ids (-1 for none). Returns (KF,) counts of
     shared valid map points — the weights of KeyFrame::UpdateConnections
-    (reference src/KeyFrame.cc:313-341).
+    (reference src/KeyFrame.cc:313-341). Computed from the inverted index:
+    O(N x K) instead of a full (KF x N) table scan.
+
+    Duplicate pids in mp_assign are counted once (first slot wins), matching
+    the one-observation-per-(point, keyframe) invariant.
     """
     MP = state.mp_pos.shape[0]
-    seen = jnp.zeros((MP + 1,), jnp.int32).at[jnp.where(mp_assign >= 0, mp_assign, MP)].set(1)
-    seen = seen.at[MP].set(0)
-    # For every KF slot: count its keypoints whose map point is in `seen`.
-    kf_mp = jnp.where(state.kf_mp >= 0, state.kf_mp, MP)
-    hits = jnp.take(seen, kf_mp)  # (KF, N)
-    return jnp.sum(hits, axis=1, dtype=jnp.int32) * state.kf_valid
+    KF = state.kf_Tcw.shape[0]
+    N = mp_assign.shape[0]
+    ok = (mp_assign >= 0) & (mp_assign < MP)
+    pid = jnp.where(ok, mp_assign, MP)
+    first = jnp.full((MP + 1,), N, jnp.int32).at[pid].min(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    is_first = ok & (jnp.take(first, pid) == jnp.arange(N))
+    pc = jnp.clip(mp_assign, 0, MP - 1)
+    rows = state.mp_obs_kf[pc]  # (N, K)
+    e_ok = is_first[:, None] & (rows >= 0) & jnp.take(state.mp_valid, pc)[:, None]
+    cnt = jnp.zeros((KF + 1,), jnp.int32).at[
+        jnp.where(e_ok, rows, KF).reshape(-1)
+    ].add(1)[:KF]
+    return cnt * state.kf_valid
+
+
+def refresh_covisibility(state: MapState, kf_ids: jnp.ndarray) -> MapState:
+    """Recompute covisibility rows for the given keyframes (padded with -1).
+
+    Used after fuse/culling where observation sets changed (reference
+    UpdateConnections re-runs per affected KF). Index-based: each requested
+    row costs N x K gathers + a scatter-add, so a typical 21-row refresh is
+    ~0.7M entries instead of 21 full (KF x N) table scans.
+    """
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    B = kf_ids.shape[0]
+    ids_c = jnp.clip(kf_ids, 0, KF - 1)
+    ok_id = (kf_ids >= 0) & (kf_ids < KF)
+    rows_mp = jnp.take(state.kf_mp, ids_c, axis=0)  # (B, N)
+    rows_ok = (
+        ok_id[:, None]
+        & (rows_mp >= 0)
+        & jnp.take(state.kf_kp_valid, ids_c, axis=0)
+    )
+    # Set semantics per row: a point observed at two keypoint slots of the
+    # same keyframe (possible in arbitrary/test states) counts once.
+    pid_s = jnp.sort(jnp.where(rows_ok, rows_mp, MP), axis=1)  # (B, N)
+    uniq = jnp.concatenate(
+        [jnp.ones_like(pid_s[:, :1], bool), pid_s[:, 1:] != pid_s[:, :-1]], axis=1
+    ) & (pid_s < MP)
+    pc = jnp.clip(pid_s, 0, MP - 1)
+    obs_kfs = state.mp_obs_kf[pc]  # (B, N, K)
+    e_ok = uniq[..., None] & (obs_kfs >= 0)
+    # ... and per observer list (a keyframe listed twice for one point —
+    # never true under the pipeline invariant, but arbitrary states must
+    # still produce symmetric set-semantics weights).
+    K = obs_kfs.shape[-1]
+    eq = obs_kfs[..., :, None] == obs_kfs[..., None, :]  # (B, N, K, K')
+    prev = jnp.tril(jnp.ones((K, K), bool), k=-1)  # K' strictly before K
+    has_prev = jnp.any(eq & prev[None, None, :, :], axis=-1)
+    e_ok = e_ok & ~has_prev
+    b_idx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None, None], obs_kfs.shape
+    )
+    cnt = jnp.zeros((B, KF + 1), jnp.int32).at[
+        b_idx.reshape(-1), jnp.where(e_ok, obs_kfs, KF).reshape(-1)
+    ].add(1)
+    rows = cnt[:, :KF] * state.kf_valid[None, :]
+    rows = rows.at[jnp.arange(B), ids_c].set(0)  # zero self-edges
+    rows = jnp.where(ok_id[:, None], rows, 0)
+    tgt = jnp.where(ok_id, ids_c, KF)
+    covis = state.covis.at[tgt, :].set(rows, mode="drop")
+    covis = covis.at[:, tgt].set(rows.T, mode="drop")
+    return state._replace(covis=covis)
 
 
 def mp_observations_mask(state: MapState, mp_ids: jnp.ndarray) -> jnp.ndarray:
@@ -162,6 +361,126 @@ def scale_sigma2_table(scale_factor: float, n_levels: int):
     mvLevelSigma2/mvInvLevelSigma2)."""
     s = jnp.asarray([scale_factor ** (2 * l) for l in range(n_levels)], jnp.float32)
     return s, 1.0 / s
+
+
+def recount_observations(state: MapState) -> MapState:
+    """Recompute mp_n_obs from the inverted index (O(MP x K)); used after
+    bulk rewires (fuse replacement, loop correction) where incremental
+    deltas are impractical."""
+    KF, N = state.kf_mp.shape
+    e_ok = state.mp_obs_kf >= 0
+    kfc = jnp.clip(state.mp_obs_kf, 0, KF - 1)
+    slc = jnp.clip(state.mp_obs_slot, 0, N - 1)
+    ur = state.kf_ur[kfc, slc]  # (MP, K)
+    inc = jnp.where(ur >= 0, 2, 1)
+    n_obs = jnp.sum(jnp.where(e_ok, inc, 0), axis=1, dtype=jnp.int32)
+    return state._replace(mp_n_obs=n_obs)
+
+
+def observer_votes(state: MapState, mp_assign: jnp.ndarray, ok_mask) -> jnp.ndarray:
+    """Per-keyframe count of how many of the given points it observes
+    (reference UpdateLocalKeyFrames' K1 voting, src/Tracking.cc:1331-1360).
+    O(N x K) via the inverted index."""
+    MP = state.mp_pos.shape[0]
+    KF = state.kf_Tcw.shape[0]
+    N = mp_assign.shape[0]
+    pc = jnp.clip(mp_assign, 0, MP - 1)
+    ok = ok_mask & (mp_assign >= 0) & (mp_assign < MP)
+    # count each point once even if assigned to two keypoint slots
+    pid_s = jnp.where(ok, mp_assign, MP)
+    first = jnp.full((MP + 1,), N, jnp.int32).at[pid_s].min(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    ok = ok & (jnp.take(first, pid_s) == jnp.arange(N))
+    rows = state.mp_obs_kf[pc]  # (N, K)
+    e_ok = ok[:, None] & (rows >= 0)
+    votes = jnp.zeros((KF + 1,), jnp.int32).at[
+        jnp.where(e_ok, rows, KF).reshape(-1)
+    ].add(1)[:KF]
+    return votes * state.kf_valid
+
+
+def update_point_geometry_ids(
+    state: MapState, mp_ids: jnp.ndarray, mp_ok: jnp.ndarray,
+    scale_factor: float, n_levels: int,
+) -> MapState:
+    """Recompute viewing normal + scale-invariance ring for the given
+    (compacted) point ids from their current observations (reference
+    MapPoint::UpdateNormalAndDepth, src/MapPoint.cc:346-392). O(T x K).
+
+    Also refreshes mp_ref_kf: if the stored reference keyframe no longer
+    observes the point (culled / outlier-dropped), the first remaining
+    observer takes over (reference EraseObservation reassigns mpRefKF).
+    """
+    MP = state.mp_pos.shape[0]
+    KF, N = state.kf_mp.shape
+    T = mp_ids.shape[0]
+    pc = jnp.clip(mp_ids, 0, MP - 1)
+    ok = mp_ok & (mp_ids >= 0) & (mp_ids < MP)
+    rows_kf = state.mp_obs_kf[pc]  # (T, K)
+    rows_slot = state.mp_obs_slot[pc]
+    e_ok = ok[:, None] & (rows_kf >= 0)
+    kfc = jnp.clip(rows_kf, 0, KF - 1)
+
+    # Camera centers of all keyframes (KF x 3, computed once).
+    R = state.kf_Tcw[:, :3, :3]
+    t = state.kf_Tcw[:, :3, 3]
+    Ow = -jnp.einsum("kij,ki->kj", R.transpose(0, 2, 1), t)  # (KF, 3)
+
+    pos = state.mp_pos[pc]  # (T, 3)
+    d = pos[:, None, :] - Ow[kfc]  # (T, K, 3)
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    cnt = jnp.sum(e_ok, axis=1)
+    normal = jnp.sum(jnp.where(e_ok[..., None], dn, 0.0), axis=1) / jnp.maximum(
+        cnt[:, None].astype(jnp.float32), 1.0
+    )
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    # Reference keyframe: keep if still an observer, else first observer.
+    ref_cur = state.mp_ref_kf[pc]
+    is_ref = e_ok & (rows_kf == ref_cur[:, None])
+    still = jnp.any(is_ref, axis=1)
+    first_e = jnp.argmax(e_ok, axis=1)
+    any_obs = jnp.any(e_ok, axis=1)
+    fallback = rows_kf[jnp.arange(T), first_e]
+    new_ref = jnp.where(still, ref_cur, jnp.where(any_obs, fallback, ref_cur))
+    # Octave of the reference observation.
+    ref_entry = jnp.argmax(is_ref | (~still[:, None] & e_ok), axis=1)
+    ref_slot = rows_slot[jnp.arange(T), ref_entry]
+    octv = state.kf_octave[
+        jnp.clip(new_ref, 0, KF - 1), jnp.clip(ref_slot, 0, N - 1)
+    ]
+    dist = jnp.linalg.norm(pos - Ow[jnp.clip(new_ref, 0, KF - 1)], axis=-1)
+    level_sf = scale_factor ** octv.astype(jnp.float32)
+    max_dist = dist * level_sf
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+
+    upd = ok & any_obs
+    tgt = jnp.where(upd, mp_ids, MP)
+    return state._replace(
+        mp_normal=state.mp_normal.at[tgt].set(normal, mode="drop"),
+        mp_max_dist=state.mp_max_dist.at[tgt].set(max_dist, mode="drop"),
+        mp_min_dist=state.mp_min_dist.at[tgt].set(min_dist, mode="drop"),
+        mp_ref_kf=state.mp_ref_kf.at[tgt].set(new_ref, mode="drop"),
+    )
+
+
+def update_point_geometry(state: MapState, mp_mask: jnp.ndarray,
+                          scale_factor: float, n_levels: int,
+                          max_touched: int = 0) -> MapState:
+    """Mask-based wrapper around `update_point_geometry_ids`.
+
+    max_touched == 0 processes ALL points (full refresh after map-wide pose
+    corrections); otherwise the mask is compacted to that static bound.
+    """
+    MP = state.mp_pos.shape[0]
+    if max_touched and max_touched < MP:
+        ids = jnp.nonzero(mp_mask, size=max_touched, fill_value=MP)[0]
+        return update_point_geometry_ids(
+            state, ids, ids < MP, scale_factor, n_levels
+        )
+    ids = jnp.arange(MP, dtype=jnp.int32)
+    return update_point_geometry_ids(state, ids, mp_mask, scale_factor, n_levels)
 
 
 # ---------------------------------------------------------------------------
@@ -212,14 +531,39 @@ def insert_keyframe(
     mp_assign: jnp.ndarray,
     min_covis_weight: int = 15,
 ) -> tuple[MapState, jnp.ndarray]:
-    """Insert a keyframe at the next slot; update observations, covisibility
-    and spanning tree.
+    """Insert a keyframe at the next slot; update observations (both index
+    directions), covisibility and spanning tree.
 
     mp_assign: (N,) map-point id observed by each keypoint (-1 none).
-    Returns (new_state, kf_id).
+    Duplicate point ids keep only their first slot (one observation per
+    (point, keyframe)). Returns (new_state, kf_id).
     """
     kf_id = state.n_kf
-    # Feature block
+    MP = state.mp_pos.shape[0]
+    N = mp_assign.shape[0]
+    # Deduplicate assignments: first slot per point id wins.
+    ok_a = kp_valid & (mp_assign >= 0) & (mp_assign < MP)
+    ok_a = ok_a & jnp.take(state.mp_valid, jnp.clip(mp_assign, 0, MP - 1))
+    pid_s = jnp.where(ok_a, mp_assign, MP)
+    first = jnp.full((MP + 1,), N, jnp.int32).at[pid_s].min(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    ok_a = ok_a & (jnp.take(first, pid_s) == jnp.arange(N))
+    assign = jnp.where(ok_a, mp_assign, INVALID)
+
+    # Covisibility row from the index BEFORE appending our own observations
+    # (so no self-count; reference zeroes the self edge implicitly).
+    row = covis_row(state, assign)
+
+    # Append to the inverted index.
+    mp_obs_kf, mp_obs_slot, did, n_over = obs_add_pairs(
+        state.mp_obs_kf, state.mp_obs_slot,
+        assign, jnp.full((N,), 0, jnp.int32) + kf_id,
+        jnp.arange(N, dtype=jnp.int32), ok_a,
+    )
+    assign = jnp.where(did, assign, INVALID)
+
+    # Feature block + forward index.
     state = state._replace(
         kf_Tcw=state.kf_Tcw.at[kf_id].set(Tcw),
         kf_valid=state.kf_valid.at[kf_id].set(True),
@@ -232,20 +576,20 @@ def insert_keyframe(
         kf_angle=state.kf_angle.at[kf_id].set(kp_angle),
         kf_desc=state.kf_desc.at[kf_id].set(kp_desc),
         kf_kp_valid=state.kf_kp_valid.at[kf_id].set(kp_valid),
-        kf_mp=state.kf_mp.at[kf_id].set(jnp.where(kp_valid, mp_assign, INVALID)),
+        kf_mp=state.kf_mp.at[kf_id].set(assign),
+        mp_obs_kf=mp_obs_kf,
+        mp_obs_slot=mp_obs_slot,
         n_kf=state.n_kf + 1,
+        obs_overflow=state.obs_overflow + n_over,
     )
     # Observation counts: +2 for stereo keypoints, +1 mono (reference
     # MapPoint::AddObservation, src/MapPoint.cc: nObs += 2 when mvuRight>=0).
-    MP = state.mp_pos.shape[0]
     obs_inc = jnp.where(kp_ur >= 0, 2, 1).astype(jnp.int32)
-    tgt = jnp.where((mp_assign >= 0) & kp_valid, mp_assign, MP)
+    tgt = jnp.where(did, assign, MP)
     n_obs = jnp.zeros((MP + 1,), jnp.int32).at[tgt].add(obs_inc)[:MP]
     state = state._replace(mp_n_obs=state.mp_n_obs + n_obs)
     # Covisibility row (reference keeps edges with weight>=15 or the single
     # best; we store raw counts and let queries threshold).
-    row = covis_row(state, jnp.where(kp_valid, mp_assign, INVALID))
-    row = row.at[kf_id].set(0)
     state = state._replace(
         covis=state.covis.at[kf_id, :].set(row).at[:, kf_id].set(row)
     )
@@ -270,10 +614,13 @@ def add_map_points(
     """Allocate and write a batch of new map points.
 
     pos: (Q,3); want: (Q,) mask. Returns (state, slot_ids (Q,), ok (Q,)).
-    The caller wires them into kf_mp slots.
+    The caller wires them into kf_mp slots AND the inverted index (fresh
+    points start with empty index rows).
     """
     slots, ok = allocate_map_points(state.mp_valid, want)
     MP = state.mp_pos.shape[0]
+    K = state.mp_obs_kf.shape[1]
+    Q = want.shape[0]
     tgt = jnp.where(ok, slots, MP)
     state = state._replace(
         mp_pos=state.mp_pos.at[tgt].set(pos, mode="drop"),
@@ -287,154 +634,77 @@ def add_map_points(
         mp_found=state.mp_found.at[tgt].set(1, mode="drop"),
         mp_first_kf=state.mp_first_kf.at[tgt].set(ref_kf, mode="drop"),
         mp_ref_kf=state.mp_ref_kf.at[tgt].set(ref_kf, mode="drop"),
+        mp_obs_kf=state.mp_obs_kf.at[tgt].set(
+            jnp.full((Q, K), INVALID, jnp.int32), mode="drop"
+        ),
+        mp_obs_slot=state.mp_obs_slot.at[tgt].set(
+            jnp.full((Q, K), INVALID, jnp.int32), mode="drop"
+        ),
         next_mp=state.next_mp + jnp.sum(ok.astype(jnp.int32)),
     )
     return state, slots, ok
 
 
-def erase_map_points(state: MapState, kill_mask: jnp.ndarray) -> MapState:
+def erase_map_points(
+    state: MapState, kill_mask: jnp.ndarray, max_kill: int = 8192
+) -> MapState:
     """Tombstone map points and detach their observations (reference
-    MapPoint::SetBadFlag, src/MapPoint.cc: removes itself from all KFs)."""
-    MP = state.mp_pos.shape[0]
-    killed = jnp.zeros((MP + 1,), bool).at[:MP].set(kill_mask)
-    kf_mp = state.kf_mp
-    obs_killed = jnp.take(killed, jnp.where(kf_mp >= 0, kf_mp, MP))
-    return state._replace(
-        mp_valid=state.mp_valid & ~kill_mask,
-        kf_mp=jnp.where(obs_killed, INVALID, kf_mp),
-    )
+    MapPoint::SetBadFlag, src/MapPoint.cc: removes itself from all KFs).
 
-
-def recount_observations(state: MapState) -> MapState:
-    """Recompute mp_n_obs from kf_mp (after culling or fuse rewires)."""
-    MP = state.mp_pos.shape[0]
-    inc = jnp.where(state.kf_ur >= 0, 2, 1).astype(jnp.int32)
-    ok = (state.kf_mp >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
-    tgt = jnp.where(ok, state.kf_mp, MP)
-    n_obs = jnp.zeros((MP + 1,), jnp.int32).at[tgt.reshape(-1)].add(
-        jnp.where(ok, inc, 0).reshape(-1)
-    )[:MP]
-    return state._replace(mp_n_obs=n_obs)
-
-
-def refresh_covisibility(state: MapState, kf_ids: jnp.ndarray) -> MapState:
-    """Recompute covisibility rows for the given keyframes (padded with -1).
-
-    Used after fuse/culling where observation sets changed (reference
-    UpdateConnections re-runs per affected KF).
-
-    One (KF, N) gather total: each point gets a BITMASK of which of the
-    requested keyframes observe it, so all rows accumulate from a single
-    pass over the observation table — per-row gathers would cost
-    len(kf_ids) x (KF x N) at dataset capacity.
-    """
-    KF, N = state.kf_mp.shape
-    MP = state.mp_pos.shape[0]
-    covis = state.covis
-    K_total = kf_ids.shape[0]
-    obs_ok = (state.kf_mp >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
-    gather_idx = jnp.where(obs_ok, state.kf_mp, MP)  # (KF, N)
-
-    for c0 in range(0, K_total, 32):
-        ids = kf_ids[c0 : c0 + 32]
-        K = ids.shape[0]
-        ids_c = jnp.maximum(ids, 0)
-        ok_id = (ids >= 0) & (ids < KF)
-        # point -> bitmask of which requested KFs observe it
-        rows_mp = jnp.take(state.kf_mp, ids_c, axis=0)  # (K, N)
-        rows_ok = (
-            ok_id[:, None]
-            & (rows_mp >= 0)
-            & jnp.take(state.kf_kp_valid, ids_c, axis=0)
-        )
-        # Set-semantics per (point, row) — a scatter-ADD of bit values would
-        # corrupt the mask if a row observes the same point twice (possible
-        # transiently after Replace rewiring).
-        tbl = (
-            jnp.zeros((MP + 1, K), bool)
-            .at[
-                jnp.where(rows_ok, rows_mp, MP).reshape(-1),
-                jnp.broadcast_to(jnp.arange(K)[:, None], rows_mp.shape).reshape(-1),
-            ]
-            .set(True)
-        )
-        tbl = tbl.at[MP].set(False)  # sentinel row collects all padding writes
-        mask_tbl = jnp.sum(
-            tbl.astype(jnp.uint32) << jnp.arange(K, dtype=jnp.uint32)[None, :],
-            axis=1,
-            dtype=jnp.uint32,
-        )
-        hits = jnp.take(mask_tbl, gather_idx)  # (KF, N) u32 — the one gather
-        # per-bit row sums -> the K covisibility rows at once
-        rows = jnp.stack(
-            [
-                jnp.sum((hits >> jnp.uint32(j)) & 1, axis=1, dtype=jnp.int32)
-                for j in range(K)
-            ]
-        )  # (K, KF)
-        rows = rows * state.kf_valid[None, :]
-        rows = jnp.where(ok_id[:, None], rows, 0)
-        # zero self-edges
-        rows = rows.at[jnp.arange(K), ids_c].set(0)
-
-        def write(i, cv):
-            new = cv.at[ids_c[i], :].set(rows[i]).at[:, ids_c[i]].set(rows[i])
-            return jnp.where(ok_id[i], new, cv)
-
-        covis = jax.lax.fori_loop(0, K, write, covis)
-    return state._replace(covis=covis)
-
-
-def update_point_geometry(state: MapState, mp_mask: jnp.ndarray,
-                          scale_factor: float, n_levels: int) -> MapState:
-    """Recompute viewing normal + scale-invariance ring for selected points
-    from their current observations (reference
-    MapPoint::UpdateNormalAndDepth, src/MapPoint.cc:346-392).
-
-    Normal = mean of unit vectors point->observing-camera-center... (the
-    reference uses (p - Ow)/|p - Ow| averaged over observations); ring from
-    the reference keyframe's distance and the keypoint octave.
+    Index-based: the killed points' observer lists pinpoint exactly which
+    kf_mp slots to clear — O(killed x K) instead of a (KF x N) table scan.
+    The kill set is compacted to `max_kill` per call; overflowing kills are
+    deferred (the mask condition re-fires next keyframe).
     """
     MP = state.mp_pos.shape[0]
     KF, N = state.kf_mp.shape
-    ok = (state.kf_mp >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
-    tgt = jnp.where(ok, state.kf_mp, MP).reshape(-1)
-    # camera centers (KF, 3)
-    R = state.kf_Tcw[:, :3, :3]
-    t = state.kf_Tcw[:, :3, 3]
-    Ow = -jnp.einsum("kij,ki->kj", R.transpose(0, 2, 1), t)
-    pos = state.mp_pos  # (MP, 3)
-    obs_pos = jnp.take(pos, jnp.clip(state.kf_mp, 0, MP - 1).reshape(-1), axis=0).reshape(KF, N, 3)
-    d = obs_pos - Ow[:, None, :]
-    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
-    acc = jnp.zeros((MP + 1, 3)).at[tgt].add(jnp.where(ok[..., None], dn, 0.0).reshape(-1, 3))[:MP]
-    cnt = jnp.zeros((MP + 1,)).at[tgt].add(ok.reshape(-1).astype(jnp.float32))[:MP]
-    normal = acc / jnp.maximum(cnt[:, None], 1.0)
-    nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    normal = normal / jnp.maximum(nrm, 1e-9)
-
-    # Distance ring from the reference KF
-    ref = jnp.clip(state.mp_ref_kf, 0, KF - 1)
-    ref_Ow = jnp.take(Ow, ref, axis=0)
-    dist = jnp.linalg.norm(pos - ref_Ow, axis=-1)
-    # Octave of the observation in the ref KF: scatter from the (KF, N)
-    # observation table (one mp_ref_kf gather per slot) — materializing the
-    # per-point row gather would be an (MP, N) intermediate, gigabytes at
-    # dataset capacity.
-    pid = jnp.clip(state.kf_mp, 0, MP - 1)
-    is_ref = ok & (jnp.take(state.mp_ref_kf, pid) == jnp.arange(KF)[:, None])
-    flat = jnp.where(is_ref, state.kf_mp, MP).reshape(-1)
-    octv = (
-        jnp.zeros((MP + 1,), jnp.int32)
-        .at[flat]
-        .max(state.kf_octave.reshape(-1))[:MP]
-    )
-    level_sf = scale_factor ** octv.astype(jnp.float32)
-    max_dist = dist * level_sf
-    min_dist = max_dist / (scale_factor ** (n_levels - 1))
-    upd = mp_mask & (cnt > 0)
+    ids = jnp.nonzero(kill_mask, size=min(max_kill, MP), fill_value=MP)[0]
+    ok = ids < MP
+    pc = jnp.clip(ids, 0, MP - 1)
+    rows_kf = state.mp_obs_kf[pc]  # (Kl, K)
+    rows_slot = state.mp_obs_slot[pc]
+    e_ok = ok[:, None] & (rows_kf >= 0)
+    kf_mp = state.kf_mp.at[
+        jnp.where(e_ok, rows_kf, KF), jnp.where(e_ok, rows_slot, 0)
+    ].set(INVALID, mode="drop")
+    tgt = jnp.where(ok, ids, MP)
+    K = state.mp_obs_kf.shape[1]
+    empty = jnp.full((ids.shape[0], K), INVALID, jnp.int32)
     return state._replace(
-        mp_normal=jnp.where(upd[:, None], normal, state.mp_normal),
-        mp_max_dist=jnp.where(upd, max_dist, state.mp_max_dist),
-        mp_min_dist=jnp.where(upd, min_dist, state.mp_min_dist),
+        mp_valid=state.mp_valid.at[tgt].set(False, mode="drop"),
+        mp_n_obs=state.mp_n_obs.at[tgt].set(0, mode="drop"),
+        mp_obs_kf=state.mp_obs_kf.at[tgt].set(empty, mode="drop"),
+        mp_obs_slot=state.mp_obs_slot.at[tgt].set(empty, mode="drop"),
+        kf_mp=kf_mp,
+    )
+
+
+def erase_keyframe_observations(
+    state: MapState, kf_ids: jnp.ndarray, ok: jnp.ndarray
+) -> MapState:
+    """Remove all observations held by the given keyframes from the inverted
+    index and decrement mp_n_obs (used by keyframe culling). Does NOT touch
+    kf_valid/kf_mp — the caller clears those."""
+    MP = state.mp_pos.shape[0]
+    KF, N = state.kf_mp.shape
+    C = kf_ids.shape[0]
+    ids_c = jnp.clip(kf_ids, 0, KF - 1)
+    rows = jnp.take(state.kf_mp, ids_c, axis=0)  # (C, N)
+    rok = ok[:, None] & (rows >= 0) & jnp.take(state.kf_kp_valid, ids_c, axis=0)
+    pid = jnp.where(rok, rows, MP).reshape(-1)
+    kf_rep = jnp.broadcast_to(ids_c[:, None], (C, N)).reshape(-1)
+    slot_rep = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, :], (C, N)
+    ).reshape(-1)
+    mp_obs_kf, mp_obs_slot = obs_remove_pairs(
+        state.mp_obs_kf, state.mp_obs_slot, pid, kf_rep, slot_rep, rok.reshape(-1)
+    )
+    dec = jnp.where(jnp.take(state.kf_ur, ids_c, axis=0) >= 0, 2, 1).reshape(-1)
+    mp_n_obs = state.mp_n_obs.at[pid].add(
+        jnp.where(rok.reshape(-1), -dec, 0), mode="drop"
+    )
+    return state._replace(
+        mp_obs_kf=mp_obs_kf,
+        mp_obs_slot=mp_obs_slot,
+        mp_n_obs=jnp.maximum(mp_n_obs, 0),
     )

@@ -118,7 +118,9 @@ def create_initial_map_mono(
     state = state._replace(
         kf_mp=state.kf_mp.at[kf0].set(row0).at[kf1].set(row1)
     )
-    state = ms.recount_observations(state)
+    # Bulk wiring above bypassed the incremental index updates — rebuild the
+    # inverted observation index once (init-time only, 2 keyframes).
+    state = ms.rebuild_obs_index(state)
     state = ms.refresh_covisibility(state, jnp.array([kf0, kf1], jnp.int32))
     state = state._replace(kf_parent=state.kf_parent.at[kf1].set(kf0))
 

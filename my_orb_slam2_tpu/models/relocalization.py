@@ -117,8 +117,59 @@ def _try_candidate(cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_id,
     )
     cur_mp_final = jnp.where(po2["inliers"], cur_mp3, ms.INVALID)
     n_final = po2["n_inliers"]
-    accept = (n_matches >= 15) & (pnp["n_inliers"] >= 4) & (n_final >= 50)
-    return accept, po2["Tcw"], cur_mp_final, n_final
+
+    # 6. second NARROW rescue when just under the acceptance bar
+    # (reference src/Tracking.cc:1597-1608: 30 <= nGood < 50 -> re-search
+    # with window 3 / ORBdist 64 around the refined pose, re-optimize).
+    need2 = (n_final >= 30) & (n_final < 50)
+    already2 = jnp.zeros((MP,), bool).at[
+        jnp.where(cur_mp_final >= 0, cur_mp_final, 0)
+    ].set(cur_mp_final >= 0)
+    search2 = kf_pts_mask & ~already2
+    uvr2, z2 = project_stereo(
+        po2["Tcw"], state.mp_pos, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+    )
+    in_img2 = (
+        (uvr2[:, 0] >= 0) & (uvr2[:, 0] < cam.width)
+        & (uvr2[:, 1] >= 0) & (uvr2[:, 1] < cam.height) & (z2 > 0)
+    )
+    idx3, ok3, _ = matching.search_by_projection(
+        uvr2[:, :2],
+        jnp.zeros((MP,), jnp.int32),
+        search2 & in_img2 & need2,
+        state.mp_desc,
+        jnp.full((MP,), 3.0),
+        frame.uv,
+        frame.octave,
+        frame.valid,
+        frame.desc,
+        level_lo=jnp.zeros((MP,), jnp.int32),
+        level_hi=jnp.full((MP,), cfg.orb.n_levels - 1, jnp.int32),
+        max_dist=64.0,
+        ratio=1.0,
+        kp_taken=cur_mp_final >= 0,
+    )
+    add3 = jnp.full((N,), ms.INVALID, jnp.int32).at[
+        jnp.where(ok3, idx3, N - 1)
+    ].max(jnp.where(ok3, jnp.arange(MP), ms.INVALID), mode="drop")
+    cur_mp4 = jnp.where(cur_mp_final >= 0, cur_mp_final, add3)
+    # re-optimize only counts when the combined match set clears 50
+    # (reference: nGood+nadditional>=50 gates the final optimization).
+    run2 = need2 & (n_final + jnp.sum(ok3) >= 50)
+    lm4 = jnp.where(cur_mp4 >= 0, cur_mp4, 0)
+    m4 = (cur_mp4 >= 0) & jnp.take(state.mp_valid, lm4) & run2
+    po3 = pose_opt.pose_optimization(
+        po2["Tcw"], jnp.take(state.mp_pos, lm4, axis=0), frame.uv, frame.ur,
+        inv_s2, m4, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+    )
+    Tcw_out = jnp.where(run2, po3["Tcw"], po2["Tcw"])
+    cur_out = jnp.where(
+        run2, jnp.where(po3["inliers"], cur_mp4, ms.INVALID), cur_mp_final
+    )
+    n_out = jnp.where(run2, po3["n_inliers"], n_final)
+
+    accept = (n_matches >= 15) & (pnp["n_inliers"] >= 4) & (n_out >= 50)
+    return accept, Tcw_out, cur_out, n_out
 
 
 class Relocalizer:

@@ -270,7 +270,18 @@ class SlamSystem:
         data = np.load(path)
         m = self.tracker.map
         tr = self.tracker
-        tr.map = ms.MapState(**{f: jnp.asarray(data[f]) for f in m._fields})
+        vals = {}
+        missing = False
+        for f in m._fields:
+            if f in data:
+                vals[f] = jnp.asarray(data[f])
+            else:  # snapshot from an older schema: take the initial value
+                vals[f] = getattr(m, f)
+                missing = True
+        tr.map = ms.MapState(**vals)
+        if missing:
+            # derive the inverted observation index etc. from kf_mp
+            tr.map = ms.rebuild_obs_index(tr.map)
         self.db = kdb.KfDatabase(
             **{f: jnp.asarray(data[f"db_{f}"]) for f in self.db._fields}
         )

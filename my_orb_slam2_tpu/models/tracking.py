@@ -35,6 +35,36 @@ from my_orb_slam2_tpu.utils.config import SlamConfig
 INVALID = -1
 
 
+def _motion_octave_window(cfg: SlamConfig, last_octave, Tcw_last, Tcw_pred):
+    """Forward/backward octave window + octave-scaled radius for the
+    motion-model search (reference src/ORBmatcher.cc:1412-1475): when the
+    camera advanced by more than the stereo baseline, points appear at a
+    coarser octave (search [lastOctave, top]); when it retreated, finer
+    ([0, lastOctave]); otherwise +-1 around the last octave. The window
+    radius scales with the last observation's octave."""
+    n_levels = cfg.orb.n_levels
+    sf_tab = jnp.asarray(
+        [cfg.orb.scale_factor ** l for l in range(n_levels)], jnp.float32
+    )
+    oct_c = jnp.clip(last_octave, 0, n_levels - 1)
+    radius_sf = jnp.take(sf_tab, oct_c)
+    mono = cfg.camera.bf <= 0
+    if mono:
+        return oct_c - 1, oct_c + 1, radius_sf
+    # z of the current camera center in the last camera's frame
+    # (reference tlc = Rlw * twc + tlw).
+    T_lc = Tcw_last @ lie.se3_inverse(Tcw_pred)
+    z_fwd = T_lc[2, 3]
+    baseline = cfg.camera.baseline
+    forward = z_fwd > baseline
+    backward = -z_fwd > baseline
+    lo = jnp.where(forward, oct_c, jnp.where(backward, 0, oct_c - 1))
+    hi = jnp.where(
+        forward, n_levels - 1, jnp.where(backward, oct_c, oct_c + 1)
+    )
+    return lo, hi, radius_sf
+
+
 class TrackResult(NamedTuple):
     Tcw: jnp.ndarray  # (4,4)
     cur_mp: jnp.ndarray  # (N,) map point id per keypoint slot
@@ -58,6 +88,8 @@ def track_motion(
     last_uv,
     last_mp,
     last_valid,
+    last_octave,
+    Tcw_last,
     Tcw_pred,
 ):
     """Motion-model tracking: project last frame's map points into the
@@ -75,35 +107,23 @@ def track_motion(
 
     uvr, z = project_stereo(Tcw_pred, pts_w, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
     pred_valid = pt_ok & (z > 0.0)
-    # Level window around the last observed octave (reference forward/backward
-    # logic src/ORBmatcher.cc:1433-1458; the symmetric +-1 window is the
-    # masked equivalent covering both cases).
-    last_oct = frame.octave * 0  # placeholder replaced below
-    # Use last frame's keypoint octaves via last_mp slots -> we carry octave
-    # with uv: the caller passes last frame's octaves aligned with last_mp.
-    del last_oct
-
-    sf = jnp.asarray([cfg.orb.scale_factor ** l for l in range(cfg.orb.n_levels)], jnp.float32)
+    lo, hi, radius_sf = _motion_octave_window(cfg, last_octave, Tcw_last, Tcw_pred)
 
     def run_search(th):
-        # radius scales with the *candidate* octave in the reference; using
-        # the predicted point's stored octave via its last observation is
-        # equivalent at +-1 level.
-        radius = th * jnp.ones_like(z)
         idx, ok, dist = matching.search_by_projection(
             uvr[:, :2],
-            jnp.zeros_like(z, jnp.int32),
+            last_octave,
             pred_valid,
             pt_desc,
-            radius,
+            th * radius_sf,
             frame.uv,
             frame.octave,
             frame.valid,
             frame.desc,
             kp_ur=frame.ur,
             pred_ur=uvr[:, 2],
-            level_lo=jnp.zeros_like(z, jnp.int32),
-            level_hi=jnp.full_like(z, cfg.orb.n_levels - 1, dtype=jnp.int32),
+            level_lo=lo,
+            level_hi=hi,
             max_dist=matching.TH_HIGH,
             ratio=0.9,
         )
@@ -164,6 +184,7 @@ def track_motion_vo(
     last_desc,
     last_mp,
     last_valid,
+    last_octave,
     Tcw_last,
     Tcw_pred,
 ):
@@ -194,23 +215,23 @@ def track_motion_vo(
 
     uvr, z = project_stereo(Tcw_pred, pts_w, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
     pred_valid = cand_ok & (z > 0.0)
+    lo, hi, radius_sf = _motion_octave_window(cfg, last_octave, Tcw_last, Tcw_pred)
 
     def run_search(th):
-        radius = th * jnp.ones_like(z)
         idx, ok, dist = matching.search_by_projection(
             uvr[:, :2],
-            jnp.zeros_like(z, jnp.int32),
+            last_octave,
             pred_valid,
             desc,
-            radius,
+            th * radius_sf,
             frame.uv,
             frame.octave,
             frame.valid,
             frame.desc,
             kp_ur=frame.ur,
             pred_ur=uvr[:, 2],
-            level_lo=jnp.zeros_like(z, jnp.int32),
-            level_hi=jnp.full_like(z, cfg.orb.n_levels - 1, dtype=jnp.int32),
+            level_lo=lo,
+            level_hi=hi,
             max_dist=matching.TH_HIGH,
             ratio=0.9,
         )
@@ -263,9 +284,13 @@ def track_ref_kf(cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_id, T
     cur_mp = jnp.where(ok, jnp.take(kf_mp, idx), INVALID)
     n_matches = jnp.sum(cur_mp >= 0)
     res = _pose_opt_on_assignment(cfg, state, frame, cur_mp, Tcw0)
-    return TrackResult(
-        res["Tcw"], res["cur_mp"], n_matches, res["n_inliers"], res["n_inliers"]
-    )
+    # <15 BoW matches aborts the whole stage (reference src/Tracking.cc:815
+    # returns false before pose optimization) — zeroed inliers make the
+    # host's lost check fail exactly as the reference's bOK=false does.
+    enough = n_matches >= cfg.tracking.min_bow_matches
+    n_inl = jnp.where(enough, res["n_inliers"], 0)
+    cur_out = jnp.where(enough, res["cur_mp"], INVALID)
+    return TrackResult(res["Tcw"], cur_out, n_matches, n_inl, n_inl)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -288,19 +313,10 @@ def track_local_map(
     N = frame.uv.shape[0]
 
     # --- K1: keyframes observing current matched points ------------------
-    # The reference walks every matched point's observer map
-    # (src/Tracking.cc:1331-1360). An SoA equivalent over the full kf_mp
-    # table costs (KF x N) gathers per frame — instead vote with each
-    # point's REFERENCE keyframe (its first observer, mp_ref_kf): K1's top
-    # entries are recovered exactly, and the covisibility expansion below
-    # reintroduces the remaining observers (they are by construction
-    # covisible with the reference KF through these very points).
-    lm_ids = jnp.where(cur_mp >= 0, cur_mp, 0)
-    p_ref = jnp.where(cur_mp >= 0, jnp.take(state.mp_ref_kf, lm_ids), KF)
-    p_ref = jnp.where((p_ref >= 0) & (p_ref < KF), p_ref, KF)
-    k1_score = (
-        jnp.zeros((KF,), jnp.int32).at[p_ref].add(1, mode="drop") * state.kf_valid
-    )
+    # The reference walks every matched point's observer map and votes
+    # (src/Tracking.cc:1331-1360) — exact equivalent via the inverted
+    # observation index, O(N x K) per frame.
+    k1_score = ms.observer_votes(state, cur_mp, cur_mp >= 0)
     ref_kf = jnp.argmax(k1_score)
 
     # --- K2: covisible neighborhood of K1 ---------------------------------
@@ -371,6 +387,10 @@ def track_local_map(
     # over all MP rows (cheap elementwise), but the quadratic search drops
     # from MP x N to MAXC x N.
     MAXC = min(4096, MP)
+    n_frustum = jnp.sum(in_frustum, dtype=jnp.int32)
+    state = state._replace(
+        cap_overflow=state.cap_overflow + jnp.maximum(n_frustum - MAXC, 0)
+    )
     cand = jnp.nonzero(in_frustum, size=MAXC, fill_value=MP)[0]
     cand_ok = cand < MP
     cs = jnp.clip(cand, 0, MP - 1)
@@ -489,11 +509,23 @@ def insert_keyframe_with_points(
         rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
         want = cand & ((frame.depth < cam.close_depth) | (rank < min_new_points))
         state, slots, ok = _spawn_points_from_frame(cfg, state, frame, Tcw, kf_id, want)
-        # wire into this KF's rows
+        # wire into this KF's rows + inverted index (fresh points: entry 0)
+        MP = state.mp_pos.shape[0]
+        N = frame.uv.shape[0]
+        K = state.mp_obs_kf.shape[1]
         new_mp_row = jnp.where(ok, slots, state.kf_mp[kf_id])
+        e_kf = jnp.full((N, K), INVALID, jnp.int32).at[:, 0].set(
+            jnp.where(ok, kf_id, INVALID)
+        )
+        e_slot = jnp.full((N, K), INVALID, jnp.int32).at[:, 0].set(
+            jnp.where(ok, jnp.arange(N, dtype=jnp.int32), INVALID)
+        )
+        tgt = jnp.where(ok, slots, MP)
         state = state._replace(
             kf_mp=state.kf_mp.at[kf_id].set(new_mp_row),
-            mp_n_obs=state.mp_n_obs.at[jnp.where(ok, slots, state.mp_pos.shape[0] - 1)].add(
+            mp_obs_kf=state.mp_obs_kf.at[tgt].set(e_kf, mode="drop"),
+            mp_obs_slot=state.mp_obs_slot.at[tgt].set(e_slot, mode="drop"),
+            mp_n_obs=state.mp_n_obs.at[jnp.where(ok, slots, MP - 1)].add(
                 jnp.where(ok, jnp.where(frame.ur >= 0, 2, 1), 0), mode="drop"
             ),
         )
@@ -542,6 +574,7 @@ def track_frame(
     last_uv,
     last_mp,
     last_valid,
+    last_octave,
     Tcw_last,
     Tcw_prev,
     has_velocity,
@@ -577,10 +610,13 @@ def track_frame(
     if loc_mode and cfg.camera.bf > 0:
         res_m = track_motion_vo(
             cfg, state, frame, last_uv, last_depth, last_desc,
-            last_mp, last_valid, Tcw_last, Tcw_pred,
+            last_mp, last_valid, last_octave, Tcw_last, Tcw_pred,
         )
     else:
-        res_m = track_motion(cfg, state, frame, last_uv, last_mp, last_valid, Tcw_pred)
+        res_m = track_motion(
+            cfg, state, frame, last_uv, last_mp, last_valid, last_octave,
+            Tcw_last, Tcw_pred,
+        )
     motion_ok = has_velocity & (res_m.n_inliers >= 10)
     # Reference-KF fallback only runs when the motion model failed
     # (reference src/Tracking.cc:339-345); lax.cond skips the unused branch.
@@ -765,6 +801,7 @@ class Tracker:
         self.map, cur_mp, packed_dev, Tcw_dev = track_frame(
             self.cfg, self.map, frame,
             self.last_frame.uv, self.last_mp, self.last_frame.valid,
+            self.last_frame.octave,
             self._chain_Tcw, prev, has_vel,
             np.int32(self.ref_kf), np.int32(min_obs),
             last_depth=self.last_frame.depth if loc_vo else None,

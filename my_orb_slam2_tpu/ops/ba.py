@@ -203,20 +203,25 @@ def bundle_adjust(
 
         b_eff = b_red * free_cam.reshape(C, 1)
 
-        if C * 6 <= 512:
+        if C * 6 <= 512 and P * C <= (1 << 21):  # block table stays < ~150MB
             # Small camera window (local BA): materialize the reduced Schur
-            # system by applying the linear operator to all 6C basis vectors
-            # in ONE batched call, then dense-solve. A 48-step sequential CG
-            # is latency-bound on TPU (hundreds of tiny kernels); one batched
-            # matvec + one 192x192 solve is a handful of fused kernels.
+            # system ANALYTICALLY. The camera-camera coupling of the Schur
+            # complement is sum_p B_p V_p^-1 B_p^T where B_p stacks the W
+            # blocks of point p's observers — one scatter into a
+            # (P, C, 6, 3) block table + two MXU einsums, instead of 6C
+            # batched S_matvec applications (each a fresh scatter pass over
+            # the observation axis).
             D = C * 6
             with jax.default_matmul_precision("highest"):
-                basis = jnp.eye(D, dtype=jnp.float32).reshape(D, C, 6)
-                S = jax.vmap(S_matvec)(basis).reshape(D, D)
+                B = jnp.zeros((P, C, 6, 3)).at[prob.obs_pt, prob.obs_cam].add(Wo)
+                T = jnp.einsum("pcij,pjk->pcik", B, V_inv)
+                S = -jnp.einsum("pcik,pdjk->cidj", T, B)
+                S = S + jnp.einsum("cij,cd->cidj", U_d, jnp.eye(C))
+                S = S.reshape(D, D)
                 # Pin singular rows with an identity diagonal: fixed cameras
-                # (S_matvec zeroes them) AND free cameras with no
-                # observations in this window (zero U diagonal) — CG leaves
-                # both at zero implicitly, a dense solve would NaN.
+                # AND free cameras with no observations in this window (zero
+                # U diagonal) — CG leaves both at zero implicitly, a dense
+                # solve would NaN.
                 live = jnp.repeat(free_cam[:, 0], 6) * (jnp.diagonal(S) > 1e-10)
                 S = S * (live[:, None] * live[None, :]) + jnp.diag(1.0 - live)
                 rhs = b_eff.reshape(D) * live

@@ -119,6 +119,14 @@ def match_stereo(
 
     disp_final = kpL_uv[:, 0] - u_right
     ok = matched & ~at_edge & (disp_final >= min_d) & (disp_final < max_d)
+    # Median SAD outlier cut (reference src/Frame.cc:670-685): sort accepted
+    # matches by their best SAD cost and drop everything above
+    # 1.5 * 1.4 * median — bad stereo depths would otherwise seed bad
+    # map points directly.
+    sad_best = jnp.take_along_axis(sad, best[:, None], 1)[:, 0]
+    med = jnp.nanmedian(jnp.where(ok, sad_best, jnp.nan))
+    thr = 1.5 * 1.4 * med
+    ok = ok & jnp.where(jnp.isfinite(thr), sad_best <= thr, True)
     depth = jnp.where(ok, bf / jnp.maximum(disp_final, 1e-6), -1.0)
     u_right = jnp.where(ok, u_right, -1.0)
     return u_right, depth

@@ -172,6 +172,10 @@ class CapacityConfig:
     max_map_points: int = 65536
     # Max observations gathered for global BA (static bound).
     max_global_ba_obs: int = 262144
+    # Observer-list capacity per map point (the inverted observation index,
+    # reference MapPoint::mObservations). Observations past this are dropped
+    # and counted in MapState.obs_overflow.
+    max_obs_per_point: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,6 +43,15 @@ class SyntheticWorld:
         self.desc = rng.integers(0, 2 ** 32, size=(n_landmarks, 8), dtype=np.uint32)
         # A distinguishable per-landmark "scale" so octaves vary.
         self.base_octave = rng.integers(0, 3, n_landmarks)
+        # Physical scale model: the octave a landmark is detected at follows
+        # its distance (a feature detected at octave o at distance d appears
+        # at octave o+1 at distance d/1.2), exactly like a real pyramid
+        # detector. z_ref anchors each landmark at base_octave when seen
+        # from the origin — this keeps PredictScale / the motion-model
+        # octave windows consistent across the synthetic sequence.
+        self.z_ref = np.maximum(
+            np.linalg.norm(self.landmarks, axis=1), 1.0
+        ) * (1.2 ** self.base_octave)
         # Fixed per-landmark detection priority (the "corner response"):
         # frames select the strongest visible landmarks, so overlapping
         # frames share most of their keypoints like a real extractor.
@@ -115,8 +124,12 @@ class SyntheticWorld:
             depth[:k] = np.where(
                 has_st, cam.bf / np.maximum(uv[:k, 0] - ur[:k], 1e-6), -1.0
             )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            oct_f = np.log(self.z_ref[ids] / np.maximum(z[ids], 0.1)) / np.log(
+                self.cfg.orb.scale_factor
+            )
         octave[:k] = np.clip(
-            self.base_octave[ids] + (z[ids] < 6).astype(np.int32), 0, self.cfg.orb.n_levels - 1
+            np.round(oct_f).astype(np.int32), 0, self.cfg.orb.n_levels - 1
         )
         d = self.desc[ids].copy()
         # flip a few random bits per observation

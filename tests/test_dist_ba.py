@@ -5,7 +5,12 @@ import jax
 import jax.numpy as jnp
 
 from my_orb_slam2_tpu.ops import ba, lie
-from my_orb_slam2_tpu.parallel.dist_ba import make_distributed_ba, pad_problem_for_mesh
+from my_orb_slam2_tpu.parallel.dist_ba import (
+    make_camera_sharded_ba,
+    make_distributed_ba,
+    pad_problem_for_mesh,
+    partition_by_camera,
+)
 from tests.test_optim import make_ba_problem, FX, FY, CX, CY, BF
 
 
@@ -27,6 +32,32 @@ def test_distributed_matches_single_chip(rng):
     for c in range(2, cams_true.shape[0]):
         d = np.asarray(
             lie.se3_log(jnp.asarray(np.asarray(out_d.cam_Tcw[c]) @ np.linalg.inv(cams_true[c])))
+        )
+        assert np.linalg.norm(d) < 0.02, (c, d)
+
+
+def test_camera_sharded_matches_single_chip(rng):
+    """Keyframe-axis (map-sharded) distributed BA == single-chip BA: the
+    camera blocks and the Schur CG state live sharded; only landmark blocks
+    and CG scalars cross the mesh (SURVEY §2.4 map-sharded model
+    parallelism)."""
+    prob, cams_true, pts_true = make_ba_problem(rng, n_cams=16, n_pts=300)
+    mesh = jax.make_mesh((8,), ("kf",))
+    prob_p, Cd = partition_by_camera(prob, 8)
+    assert Cd == 2
+    dist = make_camera_sharded_ba(mesh)
+    out_d = dist(prob_p, FX, FY, CX, CY, BF, n_iters=8, cg_iters=48)
+    out_s = ba.bundle_adjust(prob_p, FX, FY, CX, CY, BF, n_iters=8, cg_iters=48)
+    C = cams_true.shape[0]
+    cam_d = np.asarray(out_d.cam_Tcw)  # materialize the sharded output
+    pt_d = np.asarray(out_d.pt_pos)
+    np.testing.assert_allclose(cam_d[:C], np.asarray(out_s.cam_Tcw[:C]), atol=5e-3)
+    err_d = np.linalg.norm(pt_d - np.asarray(out_s.pt_pos), axis=1)
+    assert np.median(err_d) < 5e-3
+    # ... and actually solved it.
+    for c in range(2, C):
+        d = np.asarray(
+            lie.se3_log(jnp.asarray(cam_d[c] @ np.linalg.inv(cams_true[c])))
         )
         assert np.linalg.norm(d) < 0.02, (c, d)
 

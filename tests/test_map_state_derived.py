@@ -39,6 +39,8 @@ def make_state(seed=0, KF_cap=24, MP_cap=512, N=48, n_alive=14):
         mp_valid=jnp.ones(MP, bool),
         mp_ref_kf=jnp.asarray(rng.integers(0, n_alive, MP).astype(np.int32)),
     )
+    # derive the inverted observation index the derived-state functions use
+    state = ms.rebuild_obs_index(state)
     return state, rng
 
 
@@ -54,15 +56,15 @@ def test_refresh_covisibility_matches_bruteforce():
     covis = np.asarray(out.covis)
 
     def brute_row(k):
+        # set-set semantics: |points(k) ∩ points(k2)| (one observation per
+        # (point, keyframe), reference KeyFrame::UpdateConnections)
         pts = set(kf_mp[k][(kf_mp[k] >= 0) & kp_valid[k]])
         row = np.zeros(KF, np.int64)
         for k2 in range(KF):
             if not kf_valid[k2]:
                 continue
-            row[k2] = sum(
-                1 for n in range(N)
-                if kp_valid[k2, n] and kf_mp[k2, n] >= 0 and kf_mp[k2, n] in pts
-            )
+            pts2 = set(kf_mp[k2][(kf_mp[k2] >= 0) & kp_valid[k2]])
+            row[k2] = len(pts & pts2)
         row[k] = 0
         return row
 
@@ -128,11 +130,15 @@ def test_update_point_geometry_ref_octave_and_normals():
         m = np.mean(dirs, axis=0)
         m = m / np.linalg.norm(m)
         np.testing.assert_allclose(normal[p], m, atol=1e-4)
-        # ref-KF octave ring: max octave among ref-KF observations (0 if none)
-        ref_obs = [kf_oct[k, n] for k, n in obs if k == ref[p]]
-        oct_ref = max(ref_obs) if ref_obs else 0
-        dist = np.linalg.norm(pos[p] - Ow[ref[p]])
+        # ref KF: kept if it still observes the point, else the first
+        # observer (obs are in lexicographic (kf, slot) order); octave =
+        # the first observation in the ref KF.
+        obs_kfs = [k for k, n in obs]
+        new_ref = ref[p] if ref[p] in obs_kfs else obs[0][0]
+        oct_ref = next(kf_oct[k, n] for k, n in obs if k == new_ref)
+        dist = np.linalg.norm(pos[p] - Ow[new_ref])
         np.testing.assert_allclose(max_d[p], dist * 1.2 ** oct_ref, rtol=1e-5)
+        assert int(np.asarray(out.mp_ref_kf)[p]) == new_ref
         checked += 1
     assert checked >= 10
 

@@ -1,0 +1,199 @@
+"""Per-stage timing at KITTI capacity (KF=1536, MP=262144, N=2048) on the
+real chip: builds a live map with the capacity_drive world, then times each
+jitted pipeline stage in isolation. This is the measurement tool behind the
+capacity ladder in tools/capacity_drive.py.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/probe_capacity_stages.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def timeit(fn, n=5, warmup=2):
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fn()
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
+def main():
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from my_orb_slam2_tpu.utils.config import (
+        CameraConfig, CapacityConfig, OrbConfig, SlamConfig, Sensor, TrackingConfig,
+    )
+    from my_orb_slam2_tpu.utils.synthetic import SyntheticWorld
+    from my_orb_slam2_tpu.models.tracking import Tracker, track_frame
+    from my_orb_slam2_tpu.models import local_mapping as lm
+    from my_orb_slam2_tpu.models import map_state as ms
+    from my_orb_slam2_tpu.ops import ba
+
+    cfg = SlamConfig(
+        sensor=Sensor.STEREO,
+        camera=CameraConfig(
+            fx=718.856, fy=718.856, cx=607.19, cy=185.21,
+            bf=386.1448, th_depth=35.0, width=1241, height=376,
+        ),
+        orb=OrbConfig(n_features=2000),
+        capacity=CapacityConfig(max_keyframes=1536, max_map_points=262144),
+        tracking=TrackingConfig(min_stereo_init_points=300, max_frames_between_kf=10),
+    )
+    CAP = 2048
+    world = SyntheticWorld(
+        cfg, n_landmarks=120000, seed=0, extent=(25.0, 8.0, 1200.0),
+        depth_range=(2.0, 1200.0),
+    )
+    poses = world.circular_trajectory(60, forward_per_frame=0.8, yaw_per_frame=0.001)
+    mapper = lm.LocalMapper(cfg, run_ba=True, cull_keyframes=True, full_every=4)
+    tracker = Tracker(cfg, CAP, local_mapper=mapper)
+    frames = []
+    for i, Tcw in enumerate(poses):
+        frame, _ = world.observe(Tcw, CAP, seed=10_000 + i)
+        frames.append(frame)
+        tracker.track(frame, i / 10.0)
+    tracker.flush()
+    state = tracker.map
+    kf_id = jnp.int32(tracker.n_kf - 1)
+    print(f"built map: kfs={tracker.n_kf} points={int(np.asarray(state.mp_valid).sum())}")
+
+    frame = frames[-1]
+    last = frames[-2]
+    prev = np.eye(4, dtype=np.float32)
+
+    def t_track():
+        m2, cur_mp, packed, _T = track_frame(
+            cfg, state, frame, last.uv, tracker.last_mp, last.valid, last.octave,
+            tracker.Tcw, prev, False, np.int32(tracker.ref_kf), np.int32(3),
+        )
+        packed.block_until_ready()
+    print(f"track_frame_ms        {timeit(t_track):8.1f}")
+
+    def t_cull():
+        s = map_point_culling_keep(cfg, state, kf_id)
+        s.mp_valid.block_until_ready()
+    # non-donating wrappers (donation would eat `state` between reps)
+    map_point_culling_keep = lm.map_point_culling.__wrapped__
+    map_point_culling_keep = jax.jit(map_point_culling_keep, static_argnames=("cfg",))
+    print(f"map_point_culling_ms  {timeit(t_cull):8.1f}")
+
+    create_keep = jax.jit(
+        lm.create_new_map_points.__wrapped__, static_argnames=("cfg", "n_neighbors")
+    )
+    def t_create():
+        s, n = create_keep(cfg, state, kf_id, n_neighbors=10)
+        s.mp_valid.block_until_ready()
+    print(f"create_points_ms      {timeit(t_create):8.1f}")
+
+    fuse_keep = jax.jit(
+        lm.fuse_neighbors.__wrapped__,
+        static_argnames=("cfg", "n_targets", "max_cand_b", "refresh_derived"),
+    )
+    def t_fuse():
+        s = fuse_keep(cfg, state, kf_id, 20, 8192, False)
+        s.mp_valid.block_until_ready()
+    print(f"fuse_neighbors_ms     {timeit(t_fuse):8.1f}")
+
+    def t_extract():
+        prob, aux = lm.extract_local_ba(cfg, state, kf_id)
+        prob.cam_Tcw.block_until_ready()
+    print(f"extract_local_ba_ms   {timeit(t_extract):8.1f}")
+
+    prob, aux = lm.extract_local_ba(cfg, state, kf_id)
+    cam = cfg.camera
+    def t_ba():
+        p2, fm = ba.local_ba(
+            prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            iters1=cfg.mapping.local_ba_iters1, iters2=cfg.mapping.local_ba_iters2,
+        )
+        p2.cam_Tcw.block_until_ready()
+    print(f"local_ba_ms           {timeit(t_ba):8.1f}")
+
+    # BA micro-variants: per-iteration cost + fixed overhead
+    for n in (1, 5):
+        def t_ba_n(n=n):
+            p2 = ba.bundle_adjust(
+                prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, n_iters=n
+            )
+            p2.cam_Tcw.block_until_ready()
+        print(f"bundle_adjust_{n}_ms   {timeit(t_ba_n):8.1f}")
+
+    def t_cls():
+        m2 = ba.classify_outliers(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+        m2.block_until_ready()
+    print(f"classify_ms           {timeit(t_cls):8.1f}")
+
+    p2, fm = ba.local_ba(
+        prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+        iters1=cfg.mapping.local_ba_iters1, iters2=cfg.mapping.local_ba_iters2,
+    )
+    wb_keep = jax.jit(lm.writeback_local_ba.__wrapped__, static_argnames=("cfg",))
+    def t_wb():
+        s = wb_keep(cfg, state, p2, aux, fm)
+        s.mp_valid.block_until_ready()
+    print(f"writeback_ba_ms       {timeit(t_wb):8.1f}")
+
+    light_keep = jax.jit(
+        lm.light_pass.__wrapped__, static_argnames=("cfg", "n_neighbors")
+    )
+    def t_light():
+        s, n = light_keep(cfg, state, kf_id, 10)
+        s.mp_valid.block_until_ready()
+    print(f"LIGHT_PASS_ms         {timeit(t_light):8.1f}")
+
+    full_keep = jax.jit(
+        lm.full_pass.__wrapped__, static_argnames=("cfg", "run_ba", "cull")
+    )
+    def t_full():
+        s, culled = full_keep(cfg, state, kf_id, True, True)
+        s.mp_valid.block_until_ready()
+    print(f"FULL_PASS_ms          {timeit(t_full):8.1f}")
+
+    kfc_keep = jax.jit(lm.keyframe_culling.__wrapped__, static_argnames=("cfg",))
+    def t_kfc():
+        s, culled = kfc_keep(cfg, state, kf_id)
+        s.mp_valid.block_until_ready()
+    print(f"keyframe_culling_ms   {timeit(t_kfc):8.1f}")
+
+    # derived refreshes in isolation
+    ids21 = jnp.asarray(np.arange(21, dtype=np.int32))
+    refresh = jax.jit(ms.refresh_covisibility)
+    def t_rc():
+        s = refresh(state, ids21)
+        s.covis.block_until_ready()
+    print(f"refresh_covis21_ms    {timeit(t_rc):8.1f}")
+
+    upg = jax.jit(ms.update_point_geometry_ids, static_argnames=("scale_factor", "n_levels"))
+    ids4k = jnp.asarray(np.arange(4096, dtype=np.int32))
+    def t_geo():
+        s = upg(state, ids4k, ids4k >= 0, 1.2, 8)
+        s.mp_normal.block_until_ready()
+    print(f"geometry_4k_ms        {timeit(t_geo):8.1f}")
+
+    rec = jax.jit(ms.recount_observations)
+    def t_rec():
+        s = rec(state)
+        s.mp_n_obs.block_until_ready()
+    print(f"recount_obs_ms        {timeit(t_rec):8.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -95,13 +95,14 @@ def main():
         tracker.track(fd, i / 30.0)
     assert tracker.state == TrackingState.OK
     fd = factory.build_stereo(*pairs[5])
-    vel = tracker.velocity.astype(np.float32)
+    prev = np.eye(4, dtype=np.float32)  # no velocity: first dispatch after warmup
 
     def tf(_):
-        m, cur_mp, packed = track_frame(
+        m, cur_mp, packed, _T = track_frame(
             cfg, tracker.map, fd,
             tracker.last_frame.uv, tracker.last_mp, tracker.last_frame.valid,
-            tracker.Tcw, vel, True, np.int32(tracker.ref_kf), np.int32(3),
+            tracker.last_frame.octave,
+            tracker.Tcw, prev, False, np.int32(tracker.ref_kf), np.int32(3),
         )
         return packed
     print(f"track_frame_ms  {deep(tf, 0, lambda r: r):7.2f}")

@@ -172,21 +172,23 @@ def main():
     assert tracker.state == TrackingState.OK, tracker.state
     fd = factory.build_stereo(*pairs[4])
     min_obs = np.int32(3)
-    vel = tracker.velocity.astype(np.float32)
+    prev = np.eye(4, dtype=np.float32)  # no velocity: first dispatch after warmup
 
     def tf():
-        m, cur_mp, packed = track_frame(
+        m, cur_mp, packed, _T = track_frame(
             cfg, tracker.map, fd,
             tracker.last_frame.uv, tracker.last_mp, tracker.last_frame.valid,
-            tracker.Tcw, vel, True, np.int32(tracker.ref_kf), min_obs,
+            tracker.last_frame.octave,
+            tracker.Tcw, prev, False, np.int32(tracker.ref_kf), min_obs,
         )
         packed.block_until_ready()
     print(f"track_frame_ms      {timeit(tf):8.2f}")
 
-    m, cur_mp, packed = track_frame(
+    m, cur_mp, packed, _T = track_frame(
         cfg, tracker.map, fd,
         tracker.last_frame.uv, tracker.last_mp, tracker.last_frame.valid,
-        tracker.Tcw, vel, True, np.int32(tracker.ref_kf), min_obs,
+        tracker.last_frame.octave,
+        tracker.Tcw, prev, False, np.int32(tracker.ref_kf), min_obs,
     )
     packed.block_until_ready()
     def rb():
@@ -196,10 +198,11 @@ def main():
     # 5. end-to-end single-frame (sync) and pipelined loop
     def e2e():
         fd2 = factory._stereo(dL, dR)
-        m, c, p = track_frame(
+        m, c, p, _T = track_frame(
             cfg, tracker.map, fd2,
             tracker.last_frame.uv, tracker.last_mp, tracker.last_frame.valid,
-            tracker.Tcw, vel, True, np.int32(tracker.ref_kf), min_obs,
+            tracker.last_frame.octave,
+            tracker.Tcw, prev, False, np.int32(tracker.ref_kf), min_obs,
         )
         np.asarray(p)
     print(f"e2e_sync_ms         {timeit(e2e):8.2f}")
