@@ -52,6 +52,11 @@ def main():
     # Persistent compilation cache: bench wall time is dominated by XLA
     # compiles on a fresh process; cache them across runs.
     try:
+        # The persistent compile cache intermittently WEDGES the axon
+        # tunnel (process stuck at ~0% CPU before the first dispatch);
+        # opt-in only.
+        if not os.environ.get("SLAM_COMPILE_CACHE"):
+            raise RuntimeError("cache disabled (opt-in via SLAM_COMPILE_CACHE=1)")
         jax.config.update(
             "jax_compilation_cache_dir",
             os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -127,6 +132,7 @@ def main():
     warmup = 8
     ok_frames = 0
     t_start = None
+    est_poses = []
     next_frame = factory.build_stereo(*pairs[0])
     for i in range(n_frames):
         if i == warmup:
@@ -145,16 +151,45 @@ def main():
     timed = n_frames - warmup
     med = elapsed / timed
     fps = timed / elapsed
+
+    # Accuracy on the same run: trajectory vs the ground-truth render poses
+    # (BASELINE targets are ATE-gated; a throughput number divorced from
+    # accuracy is not a SLAM benchmark).
+    from my_orb_slam2_tpu.utils.synthetic import ate_rmse
+
+    traj = {fid: T for fid, _, T, lost in tracker.trajectory_poses() if not lost}
+    est, gt = [], []
+    for i, T_gt in enumerate(poses):
+        if i in traj:
+            est.append(traj[i])
+            gt.append(T_gt)
+    ate = ate_rmse(np.stack(est), np.stack(gt)) if len(est) > 10 else float("nan")
+
+    # Device-time split (front-end vs tracking), measured on steady state.
+    def timeit(fn, n=20, w=3):
+        for _ in range(w):
+            fn()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        return (time.perf_counter() - t0) / n * 1000.0
+
+    fe_ms = timeit(
+        lambda: jax.block_until_ready(factory.build_stereo(*pairs[-1]).uv)
+    )
     result = {
         "metric": "tracking_fps_single_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "ate_rmse_m": round(ate, 4),
+        "frontend_ms": round(fe_ms, 2),
+        "track_ms": round(max(med * 1000 - fe_ms, 0.0), 2),
     }
     print(json.dumps(result))
     print(
         f"# median_frame_ms={med*1000:.1f} ok_frames={ok_frames}/{n_frames} "
-        f"kfs={tracker.kf_counter}",
+        f"kfs={tracker.kf_counter} frontend_ms={fe_ms:.1f}",
         file=sys.stderr,
     )
 

@@ -108,6 +108,14 @@ def main():
                 np.asarray(m.kf_Tcw), np.asarray(m.kf_valid),
             )
             viz.save_png(os.path.join(args.viz, f"map_{i:06d}.png"), topdown)
+            three_d = viz.render_map_3d(
+                np.asarray(m.mp_pos), np.asarray(m.mp_valid),
+                np.asarray(m.kf_Tcw), np.asarray(m.kf_valid),
+                covis=np.asarray(m.covis), kf_parent=np.asarray(m.kf_parent),
+                loop_edges=np.asarray(m.loop_edges),
+                cur_Tcw=info.get("Tcw"),
+            )
+            viz.save_png(os.path.join(args.viz, f"map3d_{i:06d}.png"), three_d)
 
     system.shutdown()
     system.save_trajectory_tum("CameraTrajectory.txt")

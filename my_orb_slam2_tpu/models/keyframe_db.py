@@ -1,14 +1,21 @@
 """Keyframe database: place-recognition queries over all keyframes.
 
-Replaces reference KeyFrameDatabase (src/KeyFrameDatabase.cc): the inverted
-file (word -> keyframe list) becomes a dense (KF, n_words) word-count matrix
-queried by column gathers; the candidate logic reproduces the reference
-gates:
+Replaces reference KeyFrameDatabase (src/KeyFrameDatabase.cc). The
+reference's inverted file (word -> keyframe list) becomes a SPARSE
+per-keyframe word LIST: each keyframe stores its (<= N) keypoint word ids,
+sorted, with each entry's occurrence rank within the row. A query builds
+its dense (n_words,) count vector once, then every keyframe's TF-IDF L1
+score is an (N,)-gather + reduction over its own list — the inverted
+file's work without pointer chasing, and without the (KF x n_words) dense
+matrix (192 MB at KITTI capacity with a 65k-word vocabulary; the lists are
+(KF x N) i32 = ~12 MB).
 
+The candidate logic reproduces the reference gates:
 - DetectLoopCandidates (src/KeyFrameDatabase.cc:76-208): exclude covisible
-  keyframes, require shared words > 0.8 * max, score >= min_score,
-  accumulate scores over covisibility groups (keyframe + top-10 covis),
-  keep groups >= 0.75 * best accumulated score.
+  keyframes, require shared words > 0.8 * max, score >= min_score (computed
+  in the same pass as the lowest neighbor score), accumulate scores over
+  covisibility groups (keyframe + top-10 covis), keep groups >= 0.75 * best
+  accumulated score.
 - DetectRelocalizationCandidates (:220-337): same without the covisibility
   exclusion and without the min_score floor.
 """
@@ -23,24 +30,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from my_orb_slam2_tpu.models import map_state as ms
-from my_orb_slam2_tpu.ops import bow as bow_ops
 
 
 class KfDatabase(NamedTuple):
-    kf_bow: jnp.ndarray  # (KF, n_words) uint16 word counts
+    kf_words: jnp.ndarray  # (KF, N) i32 sorted word ids per keyframe (-1 pad)
+    kf_rank: jnp.ndarray  # (KF, N) i32 occurrence rank of the word in its row
     kf_valid: jnp.ndarray  # (KF,) bool (mirrors map kf_valid at insert time)
     df: jnp.ndarray  # (n_words,) int32 document frequency
     n_docs: jnp.ndarray  # () int32
-    kf_words: jnp.ndarray  # (KF, N) int32 per-keypoint word ids (direct index)
+    n_words: jnp.ndarray  # () int32 vocabulary size (static metadata)
 
 
 def init_db(max_kf: int, n_kp: int, n_words: int) -> KfDatabase:
     return KfDatabase(
-        kf_bow=jnp.zeros((max_kf, n_words), jnp.uint16),
+        kf_words=jnp.full((max_kf, n_kp), -1, jnp.int32),
+        kf_rank=jnp.zeros((max_kf, n_kp), jnp.int32),
         kf_valid=jnp.zeros((max_kf,), bool),
         df=jnp.zeros((n_words,), jnp.int32),
         n_docs=jnp.zeros((), jnp.int32),
-        kf_words=jnp.zeros((max_kf, n_kp), jnp.int32),
+        n_words=jnp.asarray(n_words, jnp.int32),
     )
 
 
@@ -53,16 +61,36 @@ def idf_table(db: KfDatabase) -> jnp.ndarray:
 
 @jax.jit
 def add_keyframe(db: KfDatabase, kf_id, words, valid) -> KfDatabase:
-    n_words = db.kf_bow.shape[1]
-    counts = bow_ops.bow_counts(words, valid, n_words)
-    df_inc = (counts > 0).astype(jnp.int32)
+    n_words = db.df.shape[0]
+    N = words.shape[0]
+    w = jnp.sort(jnp.where(valid & (words >= 0), words, n_words))  # (N,)
+    is_word = w < n_words
+    first = jnp.concatenate([jnp.array([True]), w[1:] != w[:-1]]) & is_word
+    # occurrence rank within the row: position - first-position of the word
+    pos = jnp.arange(N, dtype=jnp.int32)
+    first_pos = jnp.full((n_words + 1,), N, jnp.int32).at[
+        jnp.where(is_word, w, n_words)
+    ].min(pos)
+    rank = pos - jnp.take(first_pos, jnp.where(is_word, w, n_words))
+    df_inc = jnp.zeros((n_words + 1,), jnp.int32).at[
+        jnp.where(first, w, n_words)
+    ].add(1)[:n_words]
     return db._replace(
-        kf_bow=db.kf_bow.at[kf_id].set(counts),
+        kf_words=db.kf_words.at[kf_id].set(jnp.where(is_word, w, -1)),
+        kf_rank=db.kf_rank.at[kf_id].set(jnp.where(is_word, rank, 0)),
         kf_valid=db.kf_valid.at[kf_id].set(True),
         df=db.df + df_inc,
         n_docs=db.n_docs + 1,
-        kf_words=db.kf_words.at[kf_id].set(jnp.where(valid, words, -1)),
     )
+
+
+def _row_distinct_df(db: KfDatabase, rows_mask):
+    """df contribution (distinct words) of the selected keyframe rows."""
+    n_words = db.df.shape[0]
+    sel = rows_mask[:, None] & (db.kf_words >= 0) & (db.kf_rank == 0)
+    return jnp.zeros((n_words + 1,), jnp.int32).at[
+        jnp.where(sel, db.kf_words, n_words).reshape(-1)
+    ].add(1)[:n_words]
 
 
 @jax.jit
@@ -70,11 +98,10 @@ def erase_mask(db: KfDatabase, kill: jnp.ndarray) -> KfDatabase:
     """Batch-erase keyframes (culling sync; reference KeyFrame::SetBadFlag ->
     KeyFrameDatabase::erase, src/KeyFrameDatabase.cc:48-67)."""
     kill = kill & db.kf_valid
-    df_dec = jnp.sum(
-        jnp.where(kill[:, None], (db.kf_bow > 0).astype(jnp.int32), 0), axis=0
-    )
+    df_dec = _row_distinct_df(db, kill)
     return db._replace(
-        kf_bow=jnp.where(kill[:, None], 0, db.kf_bow),
+        kf_words=jnp.where(kill[:, None], -1, db.kf_words),
+        kf_rank=jnp.where(kill[:, None], 0, db.kf_rank),
         kf_valid=db.kf_valid & ~kill,
         df=db.df - df_dec,
         n_docs=jnp.maximum(db.n_docs - jnp.sum(kill.astype(jnp.int32)), 0),
@@ -83,23 +110,40 @@ def erase_mask(db: KfDatabase, kill: jnp.ndarray) -> KfDatabase:
 
 @jax.jit
 def erase_keyframe(db: KfDatabase, kf_id) -> KfDatabase:
-    counts = db.kf_bow[kf_id]
-    return db._replace(
-        kf_bow=db.kf_bow.at[kf_id].set(jnp.zeros_like(counts)),
-        kf_valid=db.kf_valid.at[kf_id].set(False),
-        df=db.df - (counts > 0).astype(jnp.int32),
-        n_docs=jnp.maximum(db.n_docs - 1, 0),
-    )
+    kill = jnp.zeros(db.kf_valid.shape, bool).at[kf_id].set(True)
+    return erase_mask(db, kill)
 
 
 def _query_scores(db: KfDatabase, words, valid):
+    """TF-IDF L1 similarity of a query frame against every keyframe.
+
+    DBoW2 L1 score (reference ScoringObject.cpp:23) for L1-normalized
+    non-negative vectors: s = sum_w min(v_w, q_w). Per keyframe-list entry
+    (word w, occurrence rank r) the normalized contribution is
+        clip(q_w_norm - r * s_kf(w), 0, s_kf(w)),  s_kf(w) = idf(w)/L1_kf,
+    which sums EXACTLY to min(cnt_kf * idf/L1_kf, cnt_q * idf/L1_q) per
+    word — the whole score is one (KF, N) gather + reduction.
+    """
+    n_words = db.df.shape[0]
     idf = idf_table(db)
-    kf_l1 = jnp.sum(
-        db.kf_bow.astype(jnp.float32) * idf[None, :], axis=1
-    )
-    scores, shared = bow_ops.l1_scores_against_all(
-        words, valid, db.kf_bow, kf_l1, idf
-    )
+    q_cnt = jnp.zeros((n_words + 1,), jnp.float32).at[
+        jnp.where(valid & (words >= 0), words, n_words)
+    ].add(1.0)[:n_words]
+    q_w = q_cnt * idf
+    q_l1 = jnp.maximum(jnp.sum(q_w), 1e-9)
+
+    w = db.kf_words  # (KF, N)
+    ok = (w >= 0) & db.kf_valid[:, None]
+    wc = jnp.clip(w, 0, n_words - 1)
+    idf_e = jnp.where(ok, idf[wc], 0.0)  # (KF, N)
+    kf_l1 = jnp.maximum(jnp.sum(idf_e, axis=1), 1e-9)  # (KF,)
+    s_kf = idf_e / kf_l1[:, None]
+    b = jnp.where(ok, q_w[wc], 0.0) / q_l1  # normalized query weight per word
+    contrib = jnp.clip(b - db.kf_rank.astype(jnp.float32) * s_kf, 0.0, s_kf)
+    scores = jnp.sum(contrib, axis=1)
+    shared = jnp.sum(
+        ok & (db.kf_rank == 0) & (jnp.where(ok, q_cnt[wc], 0.0) > 0), axis=1
+    ).astype(jnp.int32)
     return jnp.where(db.kf_valid, scores, -1.0), jnp.where(db.kf_valid, shared, 0)
 
 

@@ -144,8 +144,14 @@ def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbor
         ok = ok & ok_n & base_ok
         return idx2, ok, jnp.where(ok, dist, 1e9)
 
-    idx2_all, ok_all, dist_all = jax.vmap(per_neighbor)(
-        jnp.maximum(neigh_ids, 0), neigh_ids >= 0
+    # Sequential over neighbors (lax.map, not vmap): each neighbor's search
+    # materializes several (N, N) float matrices; running all K at once
+    # needs GBs of simultaneous workspace, which pushes the TPU runtime
+    # over its high-water mark and permanently degrades every subsequent
+    # dispatch in the process (~25ms floor, measured).
+    idx2_all, ok_all, dist_all = jax.lax.map(
+        lambda a: per_neighbor(a[0], a[1]),
+        (jnp.maximum(neigh_ids, 0), neigh_ids >= 0),
     )  # (K, N)
 
     # Best neighbor per kp1 slot.
@@ -696,10 +702,15 @@ def extract_local_ba(
         jnp.arange(max_points, dtype=jnp.int32)
     )
 
-    # Fixed cams: observers of local points that are not free.
-    obs_sel = (state.kf_mp >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
-    obs_pt_local = jnp.take(pt_local, jnp.where(obs_sel, state.kf_mp, MP))
-    observes_local = jnp.any(obs_pt_local >= 0, axis=1)  # (KF,)
+    # Fixed cams: observers of local points that are not free — read off the
+    # local points' observer lists (O(P x K)) instead of scanning the full
+    # (KF x N) observation table.
+    loc_obs_kf = state.mp_obs_kf[jnp.clip(pt_ids, 0, MP - 1)]  # (P, K)
+    loc_e_ok = (pt_ids < MP)[:, None] & (loc_obs_kf >= 0)
+    obs_votes = jnp.zeros((KF + 1,), jnp.int32).at[
+        jnp.where(loc_e_ok, loc_obs_kf, KF).reshape(-1)
+    ].add(1)[:KF]
+    observes_local = obs_votes > 0
     fixed_cand = observes_local & ~free_mask_kf & state.kf_valid
     n_fixed = max_cams - n_free
     fixed_score = fixed_cand.astype(jnp.int32) * (1 + state.covis[kf_id])
@@ -929,11 +940,21 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
     kf_valid = state.kf_valid & ~red
     kf_mp = jnp.where(red[:, None], INVALID, state.kf_mp)
     parent_of = state.kf_parent
-    new_parent = jnp.where(
-        (parent_of >= 0) & jnp.take(red, jnp.maximum(parent_of, 0)),
-        jnp.take(parent_of, jnp.maximum(parent_of, 0)),
-        parent_of,
-    )
+    # Children of culled keyframes re-home GREEDILY by covisibility weight
+    # (reference KeyFrame::SetBadFlag, src/KeyFrame.cc:467-559 picks the
+    # max-weight candidate per child). Candidates here are all surviving
+    # OLDER keyframes — the age constraint keeps the tree acyclic, which the
+    # reference gets from its parent-candidate bookkeeping; the culled KF's
+    # own parent remains the fallback when no covisible candidate exists.
+    ids = jnp.arange(KF)
+    child_of_culled = (parent_of >= 0) & jnp.take(red, jnp.maximum(parent_of, 0))
+    cand_ok = (ids[None, :] < ids[:, None]) & kf_valid[None, :]
+    w = jnp.where(cand_ok, state.covis, -1)
+    best_parent = jnp.argmax(w, axis=1).astype(jnp.int32)
+    best_w = jnp.max(w, axis=1)
+    grandparent = jnp.take(parent_of, jnp.maximum(parent_of, 0))
+    rehomed = jnp.where(best_w > 0, best_parent, grandparent)
+    new_parent = jnp.where(child_of_culled, rehomed, parent_of)
     covis = jnp.where(red[:, None] | red[None, :], 0, state.covis)
     state = state._replace(
         kf_valid=kf_valid, kf_mp=kf_mp, kf_parent=new_parent, covis=covis,

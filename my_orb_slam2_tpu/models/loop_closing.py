@@ -542,20 +542,141 @@ def writeback_global_ba(cfg: SlamConfig, state: ms.MapState, prob: ba.BAProblem)
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def writeback_global_ba_async(
+    cfg: SlamConfig,
+    state: ms.MapState,
+    prob: ba.BAProblem,
+    n_kf_start,
+    mp_valid_start,
+    mp_first_start,
+):
+    """Apply an asynchronously-computed global BA to a map that kept GROWING
+    while the BA ran (reference RunGlobalBundleAdjustment,
+    src/LoopClosing.cc:793-852):
+
+    - keyframes that existed at GBA start take the optimized poses;
+    - keyframes born during the BA are corrected THROUGH the spanning tree:
+      T_child_new = (T_child_cur @ T_parent_cur^-1) @ T_parent_new,
+      iterated so chains of new keyframes resolve;
+    - points that existed at start (same slot, same creator) take the
+      optimized positions; newer points remap through their reference
+      keyframe's old->new transform.
+    """
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    pre_Tcw = state.kf_Tcw
+    corrected = (jnp.arange(KF) < n_kf_start) & state.kf_valid
+    Tcw = jnp.where(corrected[:, None, None], prob.cam_Tcw, pre_Tcw)
+
+    def prop(_, carry):
+        Tcw, done = carry
+        par = jnp.clip(state.kf_parent, 0, KF - 1)
+        can = (
+            state.kf_valid & ~done & (state.kf_parent >= 0) & jnp.take(done, par)
+        )
+        T_rel = jnp.einsum(
+            "kij,kjl->kil", pre_Tcw, jax.vmap(lie.se3_inverse)(pre_Tcw[par])
+        )
+        T_new = jnp.einsum("kij,kjl->kil", T_rel, Tcw[par])
+        Tcw = jnp.where(can[:, None, None], T_new, Tcw)
+        return Tcw, done | can
+
+    Tcw, done = jax.lax.fori_loop(0, 8, prop, (Tcw, corrected))
+
+    ok_old = mp_valid_start & state.mp_valid & (state.mp_first_kf == mp_first_start)
+    mp_pos = jnp.where(ok_old[:, None], prob.pt_pos, state.mp_pos)
+    # newer points: p' = T_ref_new^-1 (T_ref_old p)
+    ref = jnp.clip(state.mp_ref_kf, 0, KF - 1)
+    pc = jnp.einsum("pij,pj->pi", pre_Tcw[ref, :3, :3], state.mp_pos) + pre_Tcw[ref, :3, 3]
+    Twc_new = jax.vmap(lie.se3_inverse)(Tcw)
+    p_new = jnp.einsum("pij,pj->pi", Twc_new[ref, :3, :3], pc) + Twc_new[ref, :3, 3]
+    newer = state.mp_valid & ~ok_old & jnp.take(done, ref)
+    mp_pos = jnp.where(newer[:, None], p_new, mp_pos)
+
+    state = state._replace(kf_Tcw=Tcw, mp_pos=mp_pos)
+    return ms.update_point_geometry(
+        state, state.mp_valid, cfg.orb.scale_factor, cfg.orb.n_levels
+    )
+
+
+class AsyncGba:
+    """A chunked global bundle adjustment running CONCURRENTLY with
+    tracking: one LM iteration is dispatched per tick, so the device stream
+    interleaves tracking work between BA kernels instead of stalling for the
+    whole optimization (the single-stream analog of the reference's
+    transient GBA thread, src/LoopClosing.cc:690,759-865).
+    """
+
+    def __init__(self, cfg: SlamConfig, state: ms.MapState, n_kf_start: int,
+                 n_iters: int):
+        self.cfg = cfg
+        self.prob = extract_global_ba(cfg, state)
+        self.n_kf_start = jnp.int32(n_kf_start)
+        # Snapshots must be copies: the live state's buffers get donated to
+        # later pipeline dispatches.
+        self.mp_valid_start = state.mp_valid.copy()
+        self.mp_first_start = state.mp_first_kf.copy()
+        self.iters_left = n_iters
+        self.lam = jnp.float32(1e-4)
+
+    @property
+    def finished(self) -> bool:
+        return self.iters_left <= 0
+
+    def step(self):
+        """Dispatch one LM iteration (returns immediately; device-async)."""
+        if self.iters_left <= 0:
+            return
+        cam = self.cfg.camera
+        self.prob, self.lam = ba.bundle_adjust(
+            self.prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            n_iters=1, cg_iters=64, lam0=self.lam, return_lam=True,
+        )
+        self.iters_left -= 1
+
+    def apply(self, state: ms.MapState) -> ms.MapState:
+        return writeback_global_ba_async(
+            self.cfg, state, self.prob, self.n_kf_start,
+            self.mp_valid_start, self.mp_first_start,
+        )
+
+
 # ---------------------------------------------------------------------------
 # Host driver
 # ---------------------------------------------------------------------------
 
 
 class LoopCloser:
-    def __init__(self, cfg: SlamConfig, vocab, run_global_ba: bool = True):
+    def __init__(self, cfg: SlamConfig, vocab, run_global_ba: bool = True,
+                 async_global_ba: bool = True):
         self.cfg = cfg
         self.vocab = vocab
         self.run_global_ba = run_global_ba
+        # Async mode chunks GBA into one-LM-iteration dispatches advanced by
+        # tick() (one per tracked frame), so a loop closure never stalls
+        # tracking for the whole optimization (reference GBA thread).
+        self.async_global_ba = async_global_ba
+        self.pending_gba: Optional[AsyncGba] = None
         self.last_loop_kf = -(10 ** 9)
         self.consistent_groups = []  # list[(set_of_kf, count)]
         self._key = jax.random.PRNGKey(11)
         self.loops_closed = 0
+        self.gbas_completed = 0
+
+    def tick(self, state: ms.MapState):
+        """Advance a pending asynchronous GBA by one LM iteration; apply it
+        to the map when finished. Returns (state, applied: bool)."""
+        gba = self.pending_gba
+        if gba is None:
+            return state, False
+        if not gba.finished:
+            gba.step()
+            return state, False
+        state = gba.apply(state)
+        self.pending_gba = None
+        self.gbas_completed += 1
+        return state, True
 
     def process(self, state: ms.MapState, db: kdb.KfDatabase, kf_id: int):
         """Run detection (+ correction if a loop is confirmed).
@@ -615,13 +736,22 @@ class LoopCloser:
                 S12, loop_pts, kp_match,
             )
             if self.run_global_ba:
-                cam = cfg.camera
-                prob = extract_global_ba(cfg, state)
-                prob = ba.bundle_adjust(
-                    prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-                    n_iters=cfg.loop.global_ba_iters, cg_iters=64,
-                )
-                state = writeback_global_ba(cfg, state, prob)
+                if self.async_global_ba:
+                    # A new loop aborts any still-running GBA (reference
+                    # mnFullBAIdx guard, src/LoopClosing.cc:505) and starts
+                    # a fresh one from the corrected map.
+                    self.pending_gba = AsyncGba(
+                        cfg, state, n_kf_start=int(np.asarray(state.n_kf)),
+                        n_iters=cfg.loop.global_ba_iters,
+                    )
+                else:
+                    cam = cfg.camera
+                    prob = extract_global_ba(cfg, state)
+                    prob = ba.bundle_adjust(
+                        prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                        n_iters=cfg.loop.global_ba_iters, cg_iters=64,
+                    )
+                    state = writeback_global_ba(cfg, state, prob)
             self.last_loop_kf = kf_id
             self.consistent_groups = []
             self.loops_closed += 1

@@ -148,6 +148,14 @@ class SlamSystem:
                 tr.last_reloc_frame_id = tr.frame_id
                 tr._ref_pose_host = np.asarray(tr.map.kf_Tcw[kf])
         info = tr.track(frame, timestamp)
+        if self.enable_loop_closing:
+            # Advance a pending asynchronous global BA by one LM iteration
+            # per frame; fold the result in when it completes (reference
+            # GBA thread + propagation, src/LoopClosing.cc:759-865).
+            tr.map, applied = self.loop_closer.tick(tr.map)
+            if applied:
+                self.map_change_idx += 1
+                info["gba_applied"] = True
         if tr.needs_reset:
             # Lost within the first keyframes: restart from scratch
             # (reference src/Tracking.cc:519-527 "Track lost soon after
@@ -282,9 +290,23 @@ class SlamSystem:
         if missing:
             # derive the inverted observation index etc. from kf_mp
             tr.map = ms.rebuild_obs_index(tr.map)
-        self.db = kdb.KfDatabase(
-            **{f: jnp.asarray(data[f"db_{f}"]) for f in self.db._fields}
-        )
+        if all(f"db_{f}" in data for f in self.db._fields):
+            self.db = kdb.KfDatabase(
+                **{f: jnp.asarray(data[f"db_{f}"]) for f in self.db._fields}
+            )
+        else:
+            # snapshot from an older db schema: rebuild the database by
+            # re-encoding every live keyframe's descriptors
+            self.db = kdb.init_db(
+                tr.map.kf_valid.shape[0], tr.map.kf_desc.shape[1],
+                self.vocab.n_words,
+            )
+            for k in np.nonzero(np.asarray(tr.map.kf_valid))[0]:
+                words = self.vocab.words(tr.map.kf_desc[int(k)])
+                self.db = kdb.add_keyframe(
+                    self.db, jnp.int32(int(k)), words,
+                    tr.map.kf_kp_valid[int(k)],
+                )
         tr.n_kf = int(tr.map.n_kf)
         if "sess_scalars" in data:
             s = data["sess_scalars"]

@@ -104,6 +104,7 @@ def _robust_cost(c2, delta, use_huber):
     return jnp.where(use_huber & (s > delta), 2.0 * delta * s - delta * delta, c2)
 
 
+@jax.jit
 def classify_outliers(prob: BAProblem, fx, fy, cx, cy, bf):
     """chi2 + positive-depth observation gating (reference
     src/Optimizer.cc:668-683,717-745). Returns updated obs_mask."""
@@ -115,15 +116,40 @@ def classify_outliers(prob: BAProblem, fx, fy, cx, cy, bf):
 
 
 def _inv3x3(M):
-    """Batched 3x3 inverse with damping guard."""
-    return jnp.linalg.inv(M + 1e-9 * jnp.eye(3))
+    """Batched 3x3 inverse with damping guard — closed-form adjugate
+    (pure elementwise VPU math; jnp.linalg.inv lowers to LU, which is
+    sequential per matrix and slow on TPU for large batches)."""
+    M = M + 1e-9 * jnp.eye(3)
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, D, G], axis=-1),
+            jnp.stack([B, E, H], axis=-1),
+            jnp.stack([C, F, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
 
 
 def _inv6x6(M):
     return jnp.linalg.inv(M + 1e-9 * jnp.eye(6))
 
 
-@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "use_huber"))
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "use_huber", "return_lam"))
 def bundle_adjust(
     prob: BAProblem,
     fx,
@@ -135,11 +161,18 @@ def bundle_adjust(
     cg_iters: int = 48,
     use_huber: bool = True,
     lam0: float = 1e-4,
+    return_lam: bool = False,
 ):
     """Run n_iters LM steps; returns updated BAProblem (poses + points).
 
     Each step: build block system -> Schur-reduce -> PCG on cameras ->
     back-substitute points -> accept/reject by robust cost.
+
+    With return_lam=True also returns the final LM damping so the schedule
+    can be CHUNKED into separate dispatches (asynchronous global BA runs one
+    LM iteration per dispatch, interleaving with tracking on the device
+    stream — the single-chip analog of the reference's stoppable GBA thread,
+    src/Optimizer.cc:65-66 setForceStopFlag).
     """
     C = prob.cam_Tcw.shape[0]
     P = prob.pt_pos.shape[0]
@@ -155,7 +188,7 @@ def bundle_adjust(
         return jnp.sum(rho * prob.obs_mask * (z > 0))
 
     def lm_step(_, carry):
-        cam_Tcw, pt_pos, lam = carry
+        cam_Tcw, pt_pos, lam, cost_cur = carry
         r, J_cam, J_pt, z = _residuals(cam_Tcw, pt_pos, prob, fx, fy, cx, cy, bf)
         c2 = _chi2(r, prob.obs_inv_sigma2, is_stereo)
         e = jnp.sqrt(jnp.maximum(c2, 1e-12))
@@ -263,16 +296,25 @@ def bundle_adjust(
         cam_new = jnp.where(prob.cam_fixed[:, None, None], cam_Tcw, cam_new)
         pt_new = pt_pos + dy
 
-        improved = total_cost(cam_new, pt_new) < total_cost(cam_Tcw, pt_pos)
+        # Accept test against the CARRIED cost (one residual pass per
+        # iteration instead of two).
+        cost_new = total_cost(cam_new, pt_new)
+        improved = cost_new < cost_cur
         cam_Tcw = jnp.where(improved, cam_new, cam_Tcw)
         pt_pos = jnp.where(improved, pt_new, pt_pos)
         lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-        return (cam_Tcw, pt_pos, lam)
+        cost_cur = jnp.where(improved, cost_new, cost_cur)
+        return (cam_Tcw, pt_pos, lam, cost_cur)
 
-    cam_Tcw, pt_pos, _ = jax.lax.fori_loop(
-        0, n_iters, lm_step, (prob.cam_Tcw, prob.pt_pos, jnp.float32(lam0))
+    cam_Tcw, pt_pos, lam, _ = jax.lax.fori_loop(
+        0, n_iters, lm_step,
+        (prob.cam_Tcw, prob.pt_pos, jnp.asarray(lam0, jnp.float32),
+         total_cost(prob.cam_Tcw, prob.pt_pos)),
     )
-    return prob._replace(cam_Tcw=cam_Tcw, pt_pos=pt_pos)
+    out = prob._replace(cam_Tcw=cam_Tcw, pt_pos=pt_pos)
+    if return_lam:
+        return out, lam
+    return out
 
 
 def local_ba(prob: BAProblem, fx, fy, cx, cy, bf,

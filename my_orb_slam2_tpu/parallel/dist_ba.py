@@ -166,7 +166,7 @@ def make_camera_sharded_ba(mesh: Mesh, axis: str = "kf"):
                 )
 
             def lm_step(_, carry):
-                cam_Tcw, pt_pos, lam = carry
+                cam_Tcw, pt_pos, lam, cost_cur = carry
                 r, J_cam, J_pt, z = residuals(cam_Tcw, pt_pos)
                 c2 = ba_ops._chi2(r, prob_s.obs_inv_sigma2, is_stereo)
                 e = jnp.sqrt(jnp.maximum(c2, 1e-12))
@@ -250,15 +250,18 @@ def make_camera_sharded_ba(mesh: Mesh, axis: str = "kf"):
                 cam_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, cam_Tcw)
                 cam_new = jnp.where(prob_s.cam_fixed[:, None, None], cam_Tcw, cam_new)
                 pt_new = pt_pos + dy
-                improved = total_cost(cam_new, pt_new) < total_cost(cam_Tcw, pt_pos)
+                cost_new = total_cost(cam_new, pt_new)
+                improved = cost_new < cost_cur
                 cam_Tcw = jnp.where(improved, cam_new, cam_Tcw)
                 pt_pos = jnp.where(improved, pt_new, pt_pos)
                 lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-                return (cam_Tcw, pt_pos, lam)
+                cost_cur = jnp.where(improved, cost_new, cost_cur)
+                return (cam_Tcw, pt_pos, lam, cost_cur)
 
-            cam_Tcw, pt_pos, _ = jax.lax.fori_loop(
+            cam_Tcw, pt_pos, _, _ = jax.lax.fori_loop(
                 0, n_iters, lm_step,
-                (prob_s.cam_Tcw, prob_s.pt_pos, jnp.float32(1e-4)),
+                (prob_s.cam_Tcw, prob_s.pt_pos, jnp.float32(1e-4),
+                 total_cost(prob_s.cam_Tcw, prob_s.pt_pos)),
             )
             # Points are replicated (identical on all shards after psum-built
             # updates); cameras stay sharded.
@@ -318,7 +321,7 @@ def make_distributed_ba(mesh: Mesh, axis: str = "obs"):
                 )
 
             def lm_step(_, carry):
-                cam_Tcw, pt_pos, lam = carry
+                cam_Tcw, pt_pos, lam, cost_cur = carry
                 r, J_cam, J_pt, z = ba_ops._residuals(
                     cam_Tcw, pt_pos, prob_shard, fx, fy, cx, cy, bf
                 )
@@ -413,15 +416,18 @@ def make_distributed_ba(mesh: Mesh, axis: str = "obs"):
                 cam_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, cam_Tcw)
                 cam_new = jnp.where(prob_shard.cam_fixed[:, None, None], cam_Tcw, cam_new)
                 pt_new = pt_pos + dy
-                improved = total_cost(cam_new, pt_new) < total_cost(cam_Tcw, pt_pos)
+                cost_new = total_cost(cam_new, pt_new)
+                improved = cost_new < cost_cur
                 cam_Tcw = jnp.where(improved, cam_new, cam_Tcw)
                 pt_pos = jnp.where(improved, pt_new, pt_pos)
                 lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-                return (cam_Tcw, pt_pos, lam)
+                cost_cur = jnp.where(improved, cost_new, cost_cur)
+                return (cam_Tcw, pt_pos, lam, cost_cur)
 
-            cam_Tcw, pt_pos, _ = jax.lax.fori_loop(
+            cam_Tcw, pt_pos, _, _ = jax.lax.fori_loop(
                 0, n_iters, lm_step,
-                (prob_shard.cam_Tcw, prob_shard.pt_pos, jnp.float32(1e-4)),
+                (prob_shard.cam_Tcw, prob_shard.pt_pos, jnp.float32(1e-4),
+                 total_cost(prob_shard.cam_Tcw, prob_shard.pt_pos)),
             )
             return prob_shard._replace(cam_Tcw=cam_Tcw, pt_pos=pt_pos)
 

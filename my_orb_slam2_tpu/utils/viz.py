@@ -79,6 +79,123 @@ def render_map_topdown(
     return out
 
 
+def _draw_line(out, p0, p1, color):
+    """Clipped integer line (the GL_LINES stand-in)."""
+    size_y, size_x = out.shape[:2]
+    x0, y0 = p0
+    x1, y1 = p1
+    n = int(max(abs(x1 - x0), abs(y1 - y0), 1))
+    xs = np.round(np.linspace(x0, x1, n + 1)).astype(int)
+    ys = np.round(np.linspace(y0, y1, n + 1)).astype(int)
+    ok = (xs >= 0) & (xs < size_x) & (ys >= 0) & (ys < size_y)
+    out[ys[ok], xs[ok]] = color
+
+
+def render_map_3d(
+    mp_pos: np.ndarray,
+    mp_valid: np.ndarray,
+    kf_Tcw: np.ndarray,
+    kf_valid: np.ndarray,
+    covis: np.ndarray | None = None,
+    kf_parent: np.ndarray | None = None,
+    loop_edges: np.ndarray | None = None,
+    cur_Tcw: np.ndarray | None = None,
+    size: int = 900,
+    covis_min_weight: int = 30,
+    elev_deg: float = 35.0,
+    azim_deg: float = -40.0,
+    frustum_scale: float = 0.35,
+) -> np.ndarray:
+    """3D map render (reference MapDrawer::DrawKeyFrames/DrawMapPoints/
+    DrawCurrentCamera, src/MapDrawer.cc:44-220): map points, keyframe
+    FRUSTA (wireframe pyramids), covisibility-graph edges (green),
+    spanning-tree edges (dark green), loop edges (red) and the current
+    camera (bold green) — orthographic projection from a tilted viewpoint,
+    pure numpy (the headless Pangolin stand-in). Returns (size, size, 3).
+    """
+    out = np.full((size, size, 3), 255, np.uint8)
+    alive = np.nonzero(kf_valid)[0]
+    centers = {}
+    Rwcs = {}
+    for k in alive:
+        T = kf_Tcw[k]
+        Rwcs[k] = T[:3, :3].T
+        centers[k] = -T[:3, :3].T @ T[:3, 3]
+    pts = mp_pos[mp_valid]
+    ref_pts = (
+        np.concatenate([pts] + [c[None] for c in centers.values()])
+        if len(centers)
+        else pts
+    )
+    if len(ref_pts) == 0:
+        return out
+
+    # View rotation (elevation around x, azimuth around y), orthographic.
+    ce, se = np.cos(np.radians(elev_deg)), np.sin(np.radians(elev_deg))
+    ca, sa = np.cos(np.radians(azim_deg)), np.sin(np.radians(azim_deg))
+    Rx = np.array([[1, 0, 0], [0, ce, -se], [0, se, ce]])
+    Ry = np.array([[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]])
+    Rv = Rx @ Ry
+
+    proj_ref = ref_pts @ Rv.T
+    lo = np.percentile(proj_ref[:, :2], 2, axis=0) - 1.0
+    hi = np.percentile(proj_ref[:, :2], 98, axis=0) + 1.0
+    span = float(np.maximum(hi - lo, 1e-3).max())
+
+    def to_px(p3):
+        v = Rv @ p3
+        x = int((v[0] - lo[0]) / span * (size - 1))
+        y = int((v[1] - lo[1]) / span * (size - 1))
+        return np.clip(x, -10 * size, 10 * size), np.clip(
+            size - 1 - y, -10 * size, 10 * size
+        )
+
+    # points
+    pv = pts @ Rv.T
+    xs = ((pv[:, 0] - lo[0]) / span * (size - 1)).astype(int)
+    ys = (size - 1 - (pv[:, 1] - lo[1]) / span * (size - 1)).astype(int)
+    ok = (xs >= 0) & (xs < size) & (ys >= 0) & (ys < size)
+    out[ys[ok], xs[ok]] = (170, 170, 170)
+
+    # graph edges
+    if covis is not None:
+        for i_ix, k in enumerate(alive):
+            for k2 in alive[i_ix + 1 :]:
+                if covis[k, k2] >= covis_min_weight:
+                    _draw_line(out, to_px(centers[k]), to_px(centers[k2]), (90, 200, 90))
+    if kf_parent is not None:
+        for k in alive:
+            p = int(kf_parent[k])
+            if p >= 0 and kf_valid[p]:
+                _draw_line(out, to_px(centers[k]), to_px(centers[p]), (0, 120, 0))
+    if loop_edges is not None:
+        ii, jj = np.nonzero(loop_edges)
+        for a, b in zip(ii, jj):
+            if a < b and kf_valid[a] and kf_valid[b]:
+                _draw_line(out, to_px(centers[a]), to_px(centers[b]), (230, 30, 30))
+
+    # keyframe frusta (reference DrawKeyFrames: w=0.05 scaled pyramid)
+    def draw_frustum(T, scale, color):
+        Rwc = T[:3, :3].T
+        c = -Rwc @ T[:3, 3]
+        w, h, z = 0.6 * scale, 0.45 * scale, 0.5 * scale
+        corners_cam = np.array(
+            [[w, h, z], [w, -h, z], [-w, -h, z], [-w, h, z]]
+        )
+        corners = (corners_cam @ Rwc.T) + c
+        pc = to_px(c)
+        pw = [to_px(cc) for cc in corners]
+        for a in range(4):
+            _draw_line(out, pc, pw[a], color)
+            _draw_line(out, pw[a], pw[(a + 1) % 4], color)
+
+    for k in alive:
+        draw_frustum(kf_Tcw[k], frustum_scale, (60, 60, 230))
+    if cur_Tcw is not None:
+        draw_frustum(np.asarray(cur_Tcw), 1.6 * frustum_scale, (0, 180, 0))
+    return out
+
+
 def save_png(path: str, img: np.ndarray):
     """Write a PNG without heavyweight deps (cv2 if present, else PPM)."""
     try:

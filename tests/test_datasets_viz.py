@@ -204,3 +204,40 @@ def test_ar_plane_detection_and_overlay():
     # No dominant plane -> None.
     scatter = rng.uniform(-5, 5, (120, 3))
     assert ar.detect_plane(scatter, cam_c, seed=2) is None
+
+
+def test_render_map_3d_graph_structure():
+    """3D render must show frusta + covis/spanning/loop edges on a
+    loop-closed map (reference MapDrawer::DrawKeyFrames contract)."""
+    rng = np.random.default_rng(3)
+    KF = 8
+    kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (KF, 1, 1))
+    for k in range(KF):
+        a = 2 * np.pi * k / KF
+        R = np.array(
+            [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]],
+            np.float32,
+        )
+        c = np.array([4 * np.sin(a), 0.0, 4 - 4 * np.cos(a)], np.float32)
+        kf_Tcw[k, :3, :3] = R
+        kf_Tcw[k, :3, 3] = -R @ c
+    covis = np.zeros((KF, KF), np.int32)
+    for k in range(KF - 1):
+        covis[k, k + 1] = covis[k + 1, k] = 60
+    covis[0, 3] = covis[3, 0] = 60  # a non-spanning covis edge
+    parents = np.asarray([-1] + list(range(KF - 1)), np.int32)
+    loop = np.zeros((KF, KF), bool)
+    loop[KF - 1, 0] = loop[0, KF - 1] = True
+    mp = rng.normal(0, 3, (200, 3)).astype(np.float32) + [0, 0, 4]
+    img = viz.render_map_3d(
+        mp, np.ones(200, bool), kf_Tcw, np.ones(KF, bool),
+        covis=covis, kf_parent=parents, loop_edges=loop,
+        cur_Tcw=kf_Tcw[-1],
+    )
+    assert img.shape == (900, 900, 3)
+    flat = img.reshape(-1, 3)
+    assert (flat == np.array([230, 30, 30])).all(1).any(), "no loop edge drawn"
+    assert (flat == np.array([60, 60, 230])).all(1).any(), "no frusta drawn"
+    assert (flat == np.array([90, 200, 90])).all(1).any(), "no covis edges"
+    assert (flat == np.array([0, 120, 0])).all(1).any(), "no spanning tree"
+    assert (flat == np.array([170, 170, 170])).all(1).any(), "no points"

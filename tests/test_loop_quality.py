@@ -240,3 +240,53 @@ def test_loop_correction_reduces_drift():
     # the KF0-side originals
     n_valid_after = int(np.asarray(state2.mp_valid).sum())
     assert n_valid_after < n_valid_before, "no duplicates fused"
+
+
+def test_async_gba_with_midflight_keyframe():
+    """Chunked asynchronous GBA: keyframes inserted WHILE the BA runs get
+    corrected through the spanning tree at apply time (reference
+    RunGlobalBundleAdjustment propagation, src/LoopClosing.cc:793-852)."""
+    from my_orb_slam2_tpu.models.loop_closing import AsyncGba
+
+    M = 20
+    cfg = SlamConfig(
+        sensor=Sensor.STEREO,
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0, th_depth=40.0),
+        capacity=CapacityConfig(max_keyframes=32, max_map_points=8192),
+        loop=LoopConfig(essential_graph_min_weight=40),
+    )
+    state, gt, kp_loop_match, loop_pt_mask = _build_drifted_loop(cfg, M=M)
+    ate_before = _kf_ate(state, gt, M)
+    S_cur_cand = jnp.asarray((gt[M - 1] @ np.linalg.inv(gt[0])).astype(np.float32))
+    state = correct_loop_state(
+        cfg, state, None, jnp.int32(M - 1), jnp.int32(0),
+        S_cur_cand, loop_pt_mask, kp_loop_match,
+    )
+    gba = AsyncGba(cfg, state, n_kf_start=M, n_iters=12)
+
+    # A keyframe arrives while the BA runs: pose = parent pose shifted by a
+    # known relative transform; parent = the (corrected) last keyframe.
+    from my_orb_slam2_tpu.ops import lie
+    T_rel = np.asarray(lie.se3_exp(jnp.asarray([0.05, 0.0, 0.2, 0.0, 0.02, 0.0])))
+    parent_pose = np.asarray(state.kf_Tcw[M - 1])
+    T_new = (T_rel @ parent_pose).astype(np.float32)
+    state, kf_new = ms.insert_keyframe(
+        state, jnp.asarray(T_new), jnp.int32(999), jnp.float32(9.9),
+        state.kf_uv[M - 1], state.kf_ur[M - 1], state.kf_depth[M - 1],
+        state.kf_octave[M - 1], state.kf_angle[M - 1], state.kf_desc[M - 1],
+        state.kf_kp_valid[M - 1], state.kf_mp[M - 1],
+    )
+    # spanning-tree parent must be the previous keyframe for propagation
+    assert int(state.kf_parent[M]) == M - 1
+
+    for _ in range(12):
+        gba.step()
+    state2 = gba.apply(state)
+
+    ate_after = _kf_ate(state2, gt, M)
+    assert ate_after < 0.35 * ate_before, (ate_before, ate_after)
+    # the mid-flight keyframe kept its relative pose to its (moved) parent
+    T_parent_new = np.asarray(state2.kf_Tcw[M - 1])
+    T_child_new = np.asarray(state2.kf_Tcw[M])
+    rel_after = T_child_new @ np.linalg.inv(T_parent_new)
+    np.testing.assert_allclose(rel_after, T_rel, atol=1e-4)

@@ -42,13 +42,17 @@ def circle_poses(n_frames, radius=4.0):
     return np.stack(poses)
 
 
-def run_loop_sequence(system, n_frames=72, seed=9, radius=4.0):
+def run_loop_sequence(system, n_frames=72, seed=9, radius=4.0, revisit=14):
     cfg = system.cfg
     world = SyntheticWorld(
         cfg, n_landmarks=12000, seed=seed, extent=(14.0, 6.0, 14.0), depth_range=(-14.0, 14.0)
     )
-    # Recenter landmarks around the circle (z range symmetric).
+    # Recenter landmarks around the circle (z range symmetric). A revisit
+    # tail continues past the loop point so the 3-consecutive-keyframe
+    # consistency gate has room to fire.
     poses = circle_poses(n_frames, radius)
+    if revisit:
+        poses = np.concatenate([poses, poses[:revisit]])
     est = []
     for i, Tcw in enumerate(poses):
         frame, _ = world.observe(Tcw, CAP, seed=3000 + i, noise_px=0.4)

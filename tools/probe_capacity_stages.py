@@ -30,6 +30,11 @@ def main():
     import jax.numpy as jnp
 
     try:
+        # The persistent compile cache intermittently WEDGES the axon
+        # tunnel (process stuck at ~0% CPU before the first dispatch);
+        # opt-in only.
+        if not os.environ.get("SLAM_COMPILE_CACHE"):
+            raise RuntimeError("cache disabled (opt-in via SLAM_COMPILE_CACHE=1)")
         jax.config.update(
             "jax_compilation_cache_dir",
             os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
@@ -69,7 +74,11 @@ def main():
     for i, Tcw in enumerate(poses):
         frame, _ = world.observe(Tcw, CAP, seed=10_000 + i)
         frames.append(frame)
+        t0 = time.perf_counter()
         tracker.track(frame, i / 10.0)
+        if i < 25 or i % 20 == 0:
+            print(f"  frame {i} {time.perf_counter()-t0:.1f}s "
+                  f"(kfs={tracker.kf_counter})", flush=True)
     tracker.flush()
     state = tracker.map
     kf_id = jnp.int32(tracker.n_kf - 1)
@@ -79,99 +88,38 @@ def main():
     last = frames[-2]
     prev = np.eye(4, dtype=np.float32)
 
+    # environmental floor: a trivial jit over the live state
+    f_triv = jax.jit(lambda s: s.mp_n_obs + 1)
+    print(f"trivial_fn_ms         {timeit(lambda: f_triv(state).block_until_ready()):8.2f}", flush=True)
+
     def t_track():
         m2, cur_mp, packed, _T = track_frame(
             cfg, state, frame, last.uv, tracker.last_mp, last.valid, last.octave,
             tracker.Tcw, prev, False, np.int32(tracker.ref_kf), np.int32(3),
         )
         packed.block_until_ready()
-    print(f"track_frame_ms        {timeit(t_track):8.1f}")
+    print(f"track_frame_ms        {timeit(t_track):8.1f}", flush=True)
 
-    def t_cull():
-        s = map_point_culling_keep(cfg, state, kf_id)
-        s.mp_valid.block_until_ready()
-    # non-donating wrappers (donation would eat `state` between reps)
-    map_point_culling_keep = lm.map_point_culling.__wrapped__
-    map_point_culling_keep = jax.jit(map_point_culling_keep, static_argnames=("cfg",))
-    print(f"map_point_culling_ms  {timeit(t_cull):8.1f}")
+    kf_id = jnp.int32(tracker.n_kf - 1)
 
-    create_keep = jax.jit(
-        lm.create_new_map_points.__wrapped__, static_argnames=("cfg", "n_neighbors")
-    )
-    def t_create():
-        s, n = create_keep(cfg, state, kf_id, n_neighbors=10)
-        s.mp_valid.block_until_ready()
-    print(f"create_points_ms      {timeit(t_create):8.1f}")
-
-    fuse_keep = jax.jit(
-        lm.fuse_neighbors.__wrapped__,
-        static_argnames=("cfg", "n_targets", "max_cand_b", "refresh_derived"),
-    )
-    def t_fuse():
-        s = fuse_keep(cfg, state, kf_id, 20, 8192, False)
-        s.mp_valid.block_until_ready()
-    print(f"fuse_neighbors_ms     {timeit(t_fuse):8.1f}")
-
-    def t_extract():
-        prob, aux = lm.extract_local_ba(cfg, state, kf_id)
-        prob.cam_Tcw.block_until_ready()
-    print(f"extract_local_ba_ms   {timeit(t_extract):8.1f}")
-
+    # BA micro-variants (non-donating jits)
     prob, aux = lm.extract_local_ba(cfg, state, kf_id)
     cam = cfg.camera
-    def t_ba():
-        p2, fm = ba.local_ba(
-            prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-            iters1=cfg.mapping.local_ba_iters1, iters2=cfg.mapping.local_ba_iters2,
-        )
-        p2.cam_Tcw.block_until_ready()
-    print(f"local_ba_ms           {timeit(t_ba):8.1f}")
-
-    # BA micro-variants: per-iteration cost + fixed overhead
+    def t_extract():
+        p, a = lm.extract_local_ba(cfg, state, kf_id)
+        p.cam_Tcw.block_until_ready()
+    print(f"extract_local_ba_ms   {timeit(t_extract):8.1f}", flush=True)
     for n in (1, 5):
         def t_ba_n(n=n):
             p2 = ba.bundle_adjust(
                 prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, n_iters=n
             )
             p2.cam_Tcw.block_until_ready()
-        print(f"bundle_adjust_{n}_ms   {timeit(t_ba_n):8.1f}")
-
+        print(f"bundle_adjust_{n}_ms   {timeit(t_ba_n):8.1f}", flush=True)
     def t_cls():
         m2 = ba.classify_outliers(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
         m2.block_until_ready()
-    print(f"classify_ms           {timeit(t_cls):8.1f}")
-
-    p2, fm = ba.local_ba(
-        prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-        iters1=cfg.mapping.local_ba_iters1, iters2=cfg.mapping.local_ba_iters2,
-    )
-    wb_keep = jax.jit(lm.writeback_local_ba.__wrapped__, static_argnames=("cfg",))
-    def t_wb():
-        s = wb_keep(cfg, state, p2, aux, fm)
-        s.mp_valid.block_until_ready()
-    print(f"writeback_ba_ms       {timeit(t_wb):8.1f}")
-
-    light_keep = jax.jit(
-        lm.light_pass.__wrapped__, static_argnames=("cfg", "n_neighbors")
-    )
-    def t_light():
-        s, n = light_keep(cfg, state, kf_id, 10)
-        s.mp_valid.block_until_ready()
-    print(f"LIGHT_PASS_ms         {timeit(t_light):8.1f}")
-
-    full_keep = jax.jit(
-        lm.full_pass.__wrapped__, static_argnames=("cfg", "run_ba", "cull")
-    )
-    def t_full():
-        s, culled = full_keep(cfg, state, kf_id, True, True)
-        s.mp_valid.block_until_ready()
-    print(f"FULL_PASS_ms          {timeit(t_full):8.1f}")
-
-    kfc_keep = jax.jit(lm.keyframe_culling.__wrapped__, static_argnames=("cfg",))
-    def t_kfc():
-        s, culled = kfc_keep(cfg, state, kf_id)
-        s.mp_valid.block_until_ready()
-    print(f"keyframe_culling_ms   {timeit(t_kfc):8.1f}")
+    print(f"classify_ms           {timeit(t_cls):8.1f}", flush=True)
 
     # derived refreshes in isolation
     ids21 = jnp.asarray(np.arange(21, dtype=np.int32))
@@ -179,20 +127,30 @@ def main():
     def t_rc():
         s = refresh(state, ids21)
         s.covis.block_until_ready()
-    print(f"refresh_covis21_ms    {timeit(t_rc):8.1f}")
+    print(f"refresh_covis21_ms    {timeit(t_rc):8.1f}", flush=True)
 
     upg = jax.jit(ms.update_point_geometry_ids, static_argnames=("scale_factor", "n_levels"))
     ids4k = jnp.asarray(np.arange(4096, dtype=np.int32))
     def t_geo():
         s = upg(state, ids4k, ids4k >= 0, 1.2, 8)
         s.mp_normal.block_until_ready()
-    print(f"geometry_4k_ms        {timeit(t_geo):8.1f}")
+    print(f"geometry_4k_ms        {timeit(t_geo):8.1f}", flush=True)
 
-    rec = jax.jit(ms.recount_observations)
-    def t_rec():
-        s = rec(state)
-        s.mp_n_obs.block_until_ready()
-    print(f"recount_obs_ms        {timeit(t_rec):8.1f}")
+    # Production fused passes, timed LAST by chaining donated STATE COPIES
+    # (the same executables the drive uses -- no extra compiles).
+    s_chain = [jax.tree.map(lambda x: x.copy(), state)]
+
+    def t_light():
+        s2, _n = lm.light_pass(cfg, s_chain[0], kf_id, 10)
+        s2.mp_valid.block_until_ready()
+        s_chain[0] = s2
+    print(f"LIGHT_PASS_ms         {timeit(t_light):8.1f}", flush=True)
+
+    def t_full():
+        s2, _c = lm.full_pass(cfg, s_chain[0], kf_id, run_ba=True, cull=True)
+        s2.mp_valid.block_until_ready()
+        s_chain[0] = s2
+    print(f"FULL_PASS_ms          {timeit(t_full):8.1f}", flush=True)
 
 
 if __name__ == "__main__":
