@@ -14,12 +14,13 @@ prints median/mean per-frame tracking time, like the reference mains
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from my_orb_slam2_tpu.models.system import SlamSystem
 from my_orb_slam2_tpu.utils.config import Sensor, load_yaml_settings

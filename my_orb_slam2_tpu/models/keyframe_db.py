@@ -211,9 +211,11 @@ def detect_loop_candidates(
 
 @functools.partial(jax.jit, static_argnames=("max_candidates",))
 def detect_reloc_candidates(db: KfDatabase, state: ms.MapState, words, valid,
-                            max_candidates: int = 8):
+                            max_candidates: int = 16):
     """Relocalization candidates for an untracked frame
-    (reference :220-337 — no covisibility exclusion, no score floor)."""
+    (reference :220-337 — no covisibility exclusion, no score floor). The
+    reference returns an UNBOUNDED candidate list; 16 is the static bound
+    (the batched relocalizer verifies all of them in one dispatch)."""
     scores, shared = _query_scores(db, words, valid)
     max_common = jnp.max(shared)
     min_common = (0.8 * max_common.astype(jnp.float32)).astype(jnp.int32)

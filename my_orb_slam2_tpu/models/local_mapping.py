@@ -72,15 +72,27 @@ def map_point_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_neighbors"), donate_argnames=("state",)
+    jax.jit, static_argnames=("cfg", "n_neighbors", "max_queries"),
+    donate_argnames=("state",),
 )
-def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbors: int = 10):
+def create_new_map_points(
+    cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbors: int = 10,
+    max_queries: int = 1024,
+):
     """Triangulate new points between the new keyframe and its top covisible
     neighbors (reference src/LocalMapping.cc:268-528).
 
     For every unmatched keypoint of kf_id, the best epipolar-consistent match
     across all neighbors is kept (the reference's sequential first-wins over
     neighbors becomes a best-wins reduction), then triangulated and gated.
+
+    Queries are COMPACTED to the <= max_queries keypoints without map points
+    (the only ones the reference searches, src/ORBmatcher.cc:739), which
+    shrinks every (queries x candidates) matrix ~2x AND makes it feasible to
+    batch all neighbors in one vmap instead of a sequential lax.map — the
+    per-step dispatch overhead of K sequential searches was the dominant
+    cost of this pass at capacity. Overflow beyond max_queries is counted
+    in cap_overflow.
     """
     cam = cfg.camera
     KF, N = state.kf_mp.shape
@@ -92,14 +104,25 @@ def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbor
     neigh_ids, neigh_w = ms.best_covisible(state, kf_id, n_neighbors)
 
     T1 = state.kf_Tcw[kf_id]
-    uv1 = state.kf_uv[kf_id]
-    oct1 = state.kf_octave[kf_id]
-    ur1 = state.kf_ur[kf_id]
-    depth1 = state.kf_depth[kf_id]
-    desc1 = state.kf_desc[kf_id]
-    valid1 = state.kf_kp_valid[kf_id]
-    has_mp1 = state.kf_mp[kf_id] >= 0
     O1w = -(T1[:3, :3].T @ T1[:3, 3])
+
+    # --- compact the query side: valid kps of kf_id without a map point ---
+    Q = min(max_queries, N)
+    q_cand = state.kf_kp_valid[kf_id] & (state.kf_mp[kf_id] < 0)
+    n_q = jnp.sum(q_cand, dtype=jnp.int32)
+    state = state._replace(
+        cap_overflow=state.cap_overflow + jnp.maximum(n_q - Q, 0)
+    )
+    q_slot = jnp.nonzero(q_cand, size=Q, fill_value=N)[0]  # (Q,)
+    q_ok = q_slot < N
+    qs = jnp.clip(q_slot, 0, N - 1)
+    uv1 = state.kf_uv[kf_id][qs]
+    oct1 = state.kf_octave[kf_id][qs]
+    ur1 = state.kf_ur[kf_id][qs]
+    depth1 = state.kf_depth[kf_id][qs]
+    desc1 = state.kf_desc[kf_id][qs]
+    angle1 = state.kf_angle[kf_id][qs]
+    valid1 = q_ok
 
     def per_neighbor(nid, ok_n):
         T2 = state.kf_Tcw[nid]
@@ -126,9 +149,9 @@ def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbor
         idx2, ok, dist = matching.search_for_triangulation(
             uv1,
             valid1,
-            has_mp1,
+            jnp.zeros((Q,), bool),  # queries are mp-free by construction
             desc1,
-            state.kf_angle[kf_id],
+            angle1,
             ur1,
             state.kf_uv[nid],
             state.kf_octave[nid],
@@ -144,24 +167,22 @@ def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbor
         ok = ok & ok_n & base_ok
         return idx2, ok, jnp.where(ok, dist, 1e9)
 
-    # Sequential over neighbors (lax.map, not vmap): each neighbor's search
-    # materializes several (N, N) float matrices; running all K at once
-    # needs GBs of simultaneous workspace, which pushes the TPU runtime
-    # over its high-water mark and permanently degrades every subsequent
-    # dispatch in the process (~25ms floor, measured).
-    idx2_all, ok_all, dist_all = jax.lax.map(
-        lambda a: per_neighbor(a[0], a[1]),
-        (jnp.maximum(neigh_ids, 0), neigh_ids >= 0),
-    )  # (K, N)
+    # All neighbors in one batch: with Q-compacted queries the (K, Q, N)
+    # workspace fits comfortably (the old N x N formulation needed GBs,
+    # forcing a sequential lax.map whose per-step dispatch overhead
+    # dominated the pass).
+    idx2_all, ok_all, dist_all = jax.vmap(per_neighbor)(
+        jnp.maximum(neigh_ids, 0), neigh_ids >= 0
+    )  # (K, Q)
 
-    # Best neighbor per kp1 slot.
-    best_n = jnp.argmin(dist_all, axis=0)  # (N,)
+    # Best neighbor per query.
+    best_n = jnp.argmin(dist_all, axis=0)  # (Q,)
     sel = jnp.take_along_axis(ok_all, best_n[None, :], axis=0)[0]
     sel_idx2 = jnp.take_along_axis(idx2_all, best_n[None, :], axis=0)[0]
-    nid = jnp.take(jnp.maximum(neigh_ids, 0), best_n)  # (N,)
+    nid = jnp.take(jnp.maximum(neigh_ids, 0), best_n)  # (Q,)
 
     # --- triangulate each selected pair -----------------------------------
-    T2s = state.kf_Tcw[nid]  # (N, 4, 4)
+    T2s = state.kf_Tcw[nid]  # (Q, 4, 4)
     uv2 = jnp.take_along_axis(
         state.kf_uv[nid], sel_idx2[:, None, None].repeat(2, -1), axis=1
     )[:, 0, :]
@@ -270,12 +291,14 @@ def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbor
         normal,
         min_dist,
         max_dist,
-        jnp.full((N,), kf_id, jnp.int32),
+        jnp.full((Q,), kf_id, jnp.int32),
         want,
     )
     wired = want & okalloc
-    # kf_id row: slot i -> new point
-    row1 = jnp.where(wired, slots, state.kf_mp[kf_id])
+    # kf_id row: query slot -> new point (scatter back to original slots).
+    row1 = state.kf_mp[kf_id].at[jnp.where(wired, qs, N)].set(
+        jnp.where(wired, slots, INVALID), mode="drop"
+    )
     state = state._replace(kf_mp=state.kf_mp.at[kf_id].set(row1))
     # neighbor rows: scatter (nid, sel_idx2) -> slot. Collisions: keep min
     # slot id (arbitrary but deterministic).
@@ -294,14 +317,13 @@ def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbor
     obs_add = obs_add.at[jnp.where(wired, slots, MP)].add(inc1)
     obs_add = obs_add.at[jnp.where(can_wire, slots, MP)].add(inc2)
     state = state._replace(mp_n_obs=state.mp_n_obs + obs_add[:MP])
-    # Inverted-index rows for the new points: entry 0 = (kf_id, slot i),
+    # Inverted-index rows for the new points: entry 0 = (kf_id, query slot),
     # entry 1 = the neighbor observation when its row slot was free.
     K = state.mp_obs_kf.shape[1]
-    slot_ids = jnp.arange(N, dtype=jnp.int32)
-    e_kf = jnp.full((N, K), INVALID, jnp.int32)
-    e_slot = jnp.full((N, K), INVALID, jnp.int32)
+    e_kf = jnp.full((Q, K), INVALID, jnp.int32)
+    e_slot = jnp.full((Q, K), INVALID, jnp.int32)
     e_kf = e_kf.at[:, 0].set(jnp.where(wired, kf_id, INVALID))
-    e_slot = e_slot.at[:, 0].set(jnp.where(wired, slot_ids, INVALID))
+    e_slot = e_slot.at[:, 0].set(jnp.where(wired, qs, INVALID))
     e_kf = e_kf.at[:, 1].set(jnp.where(can_wire, nid, INVALID))
     e_slot = e_slot.at[:, 1].set(jnp.where(can_wire, sel_idx2, INVALID))
     tgt = jnp.where(wired, slots, MP)
@@ -317,14 +339,9 @@ def create_new_map_points(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbor
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "n_targets", "max_cand_b", "refresh_derived"),
-    donate_argnames=("state",),
-)
 def fuse_neighbors(
     cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int = 20,
-    max_cand_b: int = 8192, refresh_derived: bool = True,
+    max_cand_b: int = 4096, refresh_derived: bool = True,
 ):
     """Two-way projection fuse between the new keyframe and its covisibility
     neighborhood (reference SearchInNeighbors src/LocalMapping.cc:530-610 +
@@ -339,61 +356,86 @@ def fuse_neighbors(
     Candidate compaction keeps the quadratic search small at dataset-scale
     capacity: direction A's candidates are exactly the new KF's <=N points
     (no MP-wide rows), direction B's are the frustum-gated union of the
-    targets' points compacted to `max_cand_b` — the (queries x keypoints)
-    Hamming matrix is C x N instead of MP x N (>=64x less at KITTI capacity).
+    targets' points compacted to `max_cand_b`.
+
+    Three ASYNC DISPATCHES (direction A / direction B / replacement
+    epilogue) rather than one fused program — long programs pessimize
+    per-op performance on the target chip (see full_pass docstring).
     """
+    kf_id = jnp.int32(kf_id)
+    state, replace_map, tgt_ids, src_mask = _fuse_dir_a(
+        cfg, state, kf_id, n_targets
+    )
+    state, replace_map, tgt_mask_rows = _fuse_dir_b(
+        cfg, state, kf_id, tgt_ids, replace_map, max_cand_b
+    )
+    state = _fuse_epilogue(
+        cfg, state, kf_id, replace_map, tgt_ids, src_mask, tgt_mask_rows,
+        refresh_derived, max_cand_b,
+    )
+    return state, tgt_ids
+
+
+def _fuse_search(cfg, state, cand_ids, cand_ok, tkf):
+    """Project candidate points (compacted ids) into keyframe tkf;
+    return (matched_kp_slot, accept) aligned with the candidates,
+    under the reference Fuse gates."""
     cam = cfg.camera
-    KF, N = state.kf_mp.shape
-    MP = state.mp_pos.shape[0]
     sf = cfg.orb.scale_factor
     sf_tab = jnp.asarray([sf ** l for l in range(cfg.orb.n_levels)], jnp.float32)
     log_sf = float(np.log(sf))
     from my_orb_slam2_tpu.ops.projection import frustum_check, predict_scale
 
+    pos = jnp.take(state.mp_pos, cand_ids, axis=0)
+    nrm = jnp.take(state.mp_normal, cand_ids, axis=0)
+    dmin = jnp.take(state.mp_min_dist, cand_ids)
+    dmax = jnp.take(state.mp_max_dist, cand_ids)
+    desc = jnp.take(state.mp_desc, cand_ids, axis=0)
+    T = state.kf_Tcw[tkf]
+    okf, uvp, zp, distp, vcos = frustum_check(
+        T, pos, nrm, dmin * 0.8, dmax * 1.2,
+        cam.fx, cam.fy, cam.cx, cam.cy, 0.0, float(cam.width), 0.0, float(cam.height),
+    )
+    pred_lvl = predict_scale(distp, dmax * 1.2, log_sf, cfg.orb.n_levels)
+    radius = 3.0 * jnp.take(sf_tab, pred_lvl)
+    urp = uvp[:, 0] - cam.bf / jnp.where(zp > 1e-6, zp, 1e9)
+    idx, ok, dist = matching.search_by_projection(
+        uvp,
+        pred_lvl,
+        cand_ok & okf,
+        desc,
+        radius,
+        state.kf_uv[tkf],
+        state.kf_octave[tkf],
+        state.kf_kp_valid[tkf],
+        state.kf_desc[tkf],
+        kp_ur=state.kf_ur[tkf],
+        pred_ur=urp,
+        level_lo=pred_lvl - 1,
+        level_hi=pred_lvl + 1,
+        max_dist=float(cfg.matcher.th_low),
+        ratio=1.0,
+    )
+    return idx, ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_targets"), donate_argnames=("state",)
+)
+def _fuse_dir_a(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int):
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
     # First ring (top-10) + implicit second ring approximated by top-20.
     tgt_ids, tgt_w = ms.best_covisible(state, kf_id, n_targets)
-    tgt_ok = tgt_ids >= 0
 
     replace_map = jnp.arange(MP, dtype=jnp.int32)  # loser -> winner
-
-    def fuse_search(cand_ids, cand_ok, tkf):
-        """Project candidate points (compacted ids) into keyframe tkf;
-        return (matched_kp_slot, accept) aligned with the candidates,
-        under the reference Fuse gates."""
-        pos = jnp.take(state.mp_pos, cand_ids, axis=0)
-        nrm = jnp.take(state.mp_normal, cand_ids, axis=0)
-        dmin = jnp.take(state.mp_min_dist, cand_ids)
-        dmax = jnp.take(state.mp_max_dist, cand_ids)
-        desc = jnp.take(state.mp_desc, cand_ids, axis=0)
-        T = state.kf_Tcw[tkf]
-        okf, uvp, zp, distp, vcos = frustum_check(
-            T, pos, nrm, dmin * 0.8, dmax * 1.2,
-            cam.fx, cam.fy, cam.cx, cam.cy, 0.0, float(cam.width), 0.0, float(cam.height),
-        )
-        pred_lvl = predict_scale(distp, dmax * 1.2, log_sf, cfg.orb.n_levels)
-        radius = 3.0 * jnp.take(sf_tab, pred_lvl)
-        urp = uvp[:, 0] - cam.bf / jnp.where(zp > 1e-6, zp, 1e9)
-        idx, ok, dist = matching.search_by_projection(
-            uvp,
-            pred_lvl,
-            cand_ok & okf,
-            desc,
-            radius,
-            state.kf_uv[tkf],
-            state.kf_octave[tkf],
-            state.kf_kp_valid[tkf],
-            state.kf_desc[tkf],
-            kp_ur=state.kf_ur[tkf],
-            pred_ur=urp,
-            level_lo=pred_lvl - 1,
-            level_hi=pred_lvl + 1,
-            max_dist=float(cfg.matcher.th_low),
-            ratio=1.0,
-        )
-        return idx, ok
-
-    # Direction A: kf_id's points into targets. The candidate set is exactly
-    # the keyframe's own observation row (<= N points) — no MP-wide search.
+    # Direction A: kf_id's points into ALL targets in one batched pass.
+    # The old formulation scanned targets sequentially (obs updates chained
+    # through the carry) — ~25 dispatched kernels per target x 20 targets
+    # dominated the fused mapper pass at capacity. Here every target's
+    # search runs under one vmap and the index/count updates collapse into
+    # a single ranked multi-append (a point may gain one observation per
+    # target; entries are grouped by point and inserted at count+rank).
     candA = jnp.where(state.kf_mp[kf_id] >= 0, state.kf_mp[kf_id], 0)  # (N,)
     candA_ok = (
         (state.kf_mp[kf_id] >= 0)
@@ -402,62 +444,90 @@ def fuse_neighbors(
     )
     src_mask = jnp.zeros((MP,), bool).at[candA].set(candA_ok)
 
-    def dir_a(carry, t):
-        state_kf_mp, mp_n_obs, obs_kf, obs_slot, replace_map, n_over = carry
+    # Compact the candidate points' index rows once so the multi-append's
+    # count+rank insert positions are exact.
+    obs_kf0, obs_slot0 = ms.obs_compact_rows(
+        state.mp_obs_kf, state.mp_obs_slot, jnp.where(candA_ok, candA, MP),
+        candA_ok,
+    )
+    state = state._replace(mp_obs_kf=obs_kf0, mp_obs_slot=obs_slot0)
+    rowsA = obs_kf0[candA]  # (N, K)
+    cntA = jnp.sum(rowsA >= 0, axis=1).astype(jnp.int32)  # (N,)
+
+    def dir_a_search(t):
         tkf = jnp.maximum(tgt_ids[t], 0)
         ok_t = tgt_ids[t] >= 0
         # Skip candidates the target already observes (reference Fuse:
         # pMP->IsInKeyFrame(pKF) -> continue, src/ORBmatcher.cc:901).
-        already_in = jnp.any(obs_kf[candA] == tkf, axis=1)
-        idx, ok = fuse_search(candA, candA_ok & ok_t & ~already_in, tkf)
-        ok = ok & ok_t & ~already_in
-        # existing observation at the matched keypoint
-        existing = jnp.take(state_kf_mp[tkf], idx)  # (N,)
-        pid = candA
-        # add observation where keypoint free (candA pids are unique, so
-        # obs_add_pairs' uniqueness requirement holds per iteration)
-        add = ok & (existing < 0)
-        obs_kf, obs_slot, did, nov = ms.obs_add_pairs(
-            obs_kf, obs_slot, jnp.where(add, pid, INVALID),
-            jnp.full((N,), 0, jnp.int32) + tkf, idx, add,
-        )
-        row = state_kf_mp[tkf]
-        row = row.at[jnp.where(did, idx, N)].set(
-            jnp.where(did, pid, INVALID), mode="drop"
-        )
-        state_kf_mp = state_kf_mp.at[tkf].set(jnp.where(ok_t, row, state_kf_mp[tkf]))
-        inc = jnp.where(jnp.take(state.kf_ur[tkf], idx) >= 0, 2, 1)
-        mp_n_obs = mp_n_obs.at[jnp.where(did, pid, MP)].add(
-            jnp.where(did, inc, 0), mode="drop"
-        )
-        # replace where keypoint already has a different point
-        conflict = ok & (existing >= 0) & (existing != pid)
-        ex = jnp.where(conflict, existing, 0)
-        keep_existing = jnp.take(mp_n_obs, ex) >= jnp.take(
-            mp_n_obs, jnp.where(conflict, pid, 0)
-        )
-        loser = jnp.where(keep_existing, pid, ex)
-        winner = jnp.where(keep_existing, ex, pid)
-        upd = conflict & (loser != winner)
-        replace_map = replace_map.at[jnp.where(upd, loser, 0)].set(
-            jnp.where(upd, winner, replace_map[0])
-        )
-        return (state_kf_mp, mp_n_obs, obs_kf, obs_slot, replace_map, n_over + nov), 0
+        already_in = jnp.any(rowsA == tkf, axis=1)
+        idx, ok = _fuse_search(cfg, state, candA, candA_ok & ok_t & ~already_in, tkf)
+        return idx, ok & ok_t & ~already_in
 
-    (kf_mp_new, mp_n_obs_new, obs_kf, obs_slot, replace_map, n_over), _ = jax.lax.scan(
-        dir_a,
-        (state.kf_mp, state.mp_n_obs, state.mp_obs_kf, state.mp_obs_slot,
-         replace_map, jnp.zeros((), jnp.int32)),
-        jnp.arange(n_targets),
+    idxA, okA = jax.vmap(dir_a_search)(jnp.arange(n_targets))  # (T, N)
+
+    # --- batched update phase --------------------------------------------
+    T = n_targets
+    tkf_e = jnp.broadcast_to(jnp.maximum(tgt_ids, 0)[:, None], (T, N))  # (T, N)
+    pid_e = jnp.broadcast_to(candA[None, :], (T, N))
+    existing = state.kf_mp[tkf_e, idxA]  # (T, N)
+    add = okA & (existing < 0)
+    inc_e = jnp.where(state.kf_ur[tkf_e, idxA] >= 0, 2, 1)
+    cnt_e = jnp.broadcast_to(cntA[None, :], (T, N))
+    obs_kf, obs_slot, did_f, n_over = ms.obs_add_pairs_multi(
+        state.mp_obs_kf, state.mp_obs_slot,
+        jnp.where(add, pid_e, INVALID).reshape(-1),
+        tkf_e.reshape(-1), idxA.reshape(-1), add.reshape(-1),
+        cnt_e.reshape(-1),
     )
+    did = did_f.reshape(T, N)
+    # kf_mp rows: matched keypoints are unique per target (one_to_one in
+    # the search), so a flat scatter is collision-free.
+    kf_mp = state.kf_mp.at[
+        jnp.where(did, tkf_e, KF), jnp.where(did, idxA, 0)
+    ].set(jnp.where(did, pid_e, INVALID), mode="drop")
+    mp_n_obs = state.mp_n_obs.at[jnp.where(did, pid_e, MP).reshape(-1)].add(
+        jnp.where(did, inc_e, 0).reshape(-1), mode="drop"
+    )
+    # Conflicts: keypoint already bound to a different point -> Replace,
+    # keeping the point with more (pre-pass) observations. Duplicate losers
+    # across targets resolve to the max-id winner (deterministic; the
+    # reference's sequential pass keeps the last writer).
+    conflict = okA & (existing >= 0) & (existing != pid_e)
+    ex = jnp.where(conflict, existing, 0)
+    keep_existing = jnp.take(state.mp_n_obs, ex) >= jnp.take(
+        state.mp_n_obs, jnp.where(conflict, pid_e, 0)
+    )
+    loser = jnp.where(keep_existing, pid_e, ex)
+    winner = jnp.where(keep_existing, ex, pid_e)
+    upd = conflict & (loser != winner)
+    win_of = jnp.full((MP,), -1, jnp.int32).at[
+        jnp.where(upd, loser, 0).reshape(-1)
+    ].max(jnp.where(upd, winner, -1).reshape(-1))
+    replace_map = jnp.where(win_of >= 0, win_of, replace_map)
     state = state._replace(
-        kf_mp=kf_mp_new, mp_n_obs=mp_n_obs_new,
+        kf_mp=kf_mp, mp_n_obs=mp_n_obs,
         mp_obs_kf=obs_kf, mp_obs_slot=obs_slot,
+        obs_overflow=state.obs_overflow + n_over,
     )
+    return state, replace_map, tgt_ids, src_mask
 
-    # Direction B: targets' points into kf_id (single pass, union of the
-    # target rows dedup'd through an MP mask, frustum-gated against kf_id,
-    # then compacted to max_cand_b ids).
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_cand_b"), donate_argnames=("state",)
+)
+def _fuse_dir_b(
+    cfg: SlamConfig, state: ms.MapState, kf_id, tgt_ids, replace_map,
+    max_cand_b: int,
+):
+    """Direction B: targets' points into kf_id (single pass, union of the
+    target rows dedup'd through an MP mask, frustum-gated against kf_id,
+    then compacted to max_cand_b ids)."""
+    cam = cfg.camera
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    from my_orb_slam2_tpu.ops.projection import frustum_check
+
+    tgt_ok = tgt_ids >= 0
     tgt_rows = jnp.take(state.kf_mp, jnp.maximum(tgt_ids, 0), axis=0)  # (T, N)
     tvalid = tgt_ok[:, None] & (tgt_rows >= 0)
     tgt_mask_rows = jnp.zeros((MP,), bool).at[
@@ -479,7 +549,7 @@ def fuse_neighbors(
     candB = jnp.clip(candB, 0, MP - 1)
     # Skip points kf_id already observes (reference Fuse IsInKeyFrame gate).
     candB_ok = candB_ok & ~jnp.any(state.mp_obs_kf[candB] == kf_id, axis=1)
-    idx, ok = fuse_search(candB, candB_ok, kf_id)
+    idx, ok = _fuse_search(cfg, state, candB, candB_ok, kf_id)
     existing = jnp.take(state.kf_mp[kf_id], idx)
     pid = candB
     add = ok & (existing < 0)
@@ -507,9 +577,22 @@ def fuse_neighbors(
     state = state._replace(
         kf_mp=state.kf_mp.at[kf_id].set(row), mp_n_obs=n_obs,
         mp_obs_kf=obs_kf, mp_obs_slot=obs_slot,
-        obs_overflow=state.obs_overflow + n_over + novB,
+        obs_overflow=state.obs_overflow + novB,
     )
+    return state, replace_map, tgt_mask_rows
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "refresh_derived", "max_cand_b"),
+    donate_argnames=("state",),
+)
+def _fuse_epilogue(
+    cfg: SlamConfig, state: ms.MapState, kf_id, replace_map, tgt_ids,
+    src_mask, tgt_mask_rows, refresh_derived: bool, max_cand_b: int,
+):
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
     # --- apply replacements globally (MapPoint::Replace) ------------------
     # Resolve replacement CHAINS (A->B set by one target, B->C by a later
     # one) by path-halving composition — an un-resolved chain would leave
@@ -530,10 +613,14 @@ def fuse_neighbors(
         ),
     )
     state = _apply_replacements(state, replace_map, replaced)
-    # covisibility rows of the touched KFs (loop detection depends on these)
-    upd_kfs = jnp.concatenate([jnp.array([kf_id], jnp.int32), tgt_ids])
-    state = ms.refresh_covisibility(state, upd_kfs)
+    # Covisibility rows of the touched KFs (loop detection depends on
+    # these). When local BA follows (refresh_derived=False), only the new
+    # keyframe's row is refreshed here — the BA window selection needs it —
+    # and the targets ride along in the writeback's single refresh instead
+    # of paying a second 21-row pass.
     if refresh_derived:
+        upd_kfs = jnp.concatenate([jnp.array([kf_id], jnp.int32), tgt_ids])
+        state = ms.refresh_covisibility(state, upd_kfs)
         # point geometry (normals + scale rings) — skipped when local BA's
         # writeback immediately follows: BA moves the points, so it must
         # recompute geometry anyway; doing it here too would double the
@@ -543,10 +630,12 @@ def fuse_neighbors(
             state, touched, cfg.orb.scale_factor, cfg.orb.n_levels,
             max_touched=max_cand_b + N,
         )
+    else:
+        state = ms.refresh_covisibility(state, jnp.array([kf_id], jnp.int32))
     return state
 
 
-def _apply_replacements(state, replace_map, replaced, max_losers: int = 4096):
+def _apply_replacements(state, replace_map, replaced, max_losers: int = 1024):
     """MapPoint::Replace over the inverted index (reference
     src/MapPoint.cc:Replace): migrate every loser observation to its winner,
     EXCEPT where the winner already observes that keyframe — there the
@@ -558,6 +647,13 @@ def _apply_replacements(state, replace_map, replaced, max_losers: int = 4096):
     MP = replace_map.shape[0]
     KF, N = state.kf_mp.shape
     K = state.mp_obs_kf.shape[1]
+    # Typical fuse passes produce tens of replacements; losers beyond the
+    # static cap stay un-merged (valid duplicates) and are counted.
+    n_replaced = jnp.sum(replaced, dtype=jnp.int32)
+    state = state._replace(
+        cap_overflow=state.cap_overflow
+        + jnp.maximum(n_replaced - min(max_losers, MP), 0)
+    )
     lids = jnp.nonzero(replaced, size=min(max_losers, MP), fill_value=MP)[0]
     l_ok = lids < MP
     lc = jnp.clip(lids, 0, MP - 1)
@@ -646,14 +742,19 @@ def _apply_replacements(state, replace_map, replaced, max_losers: int = 4096):
     mp_n_obs = state.mp_n_obs.at[jnp.where(accept, sw, MP)].add(
         jnp.where(accept, inc, 0), mode="drop"
     )
-    mp_n_obs = jnp.where(replaced, 0, mp_n_obs)
+    processed = jnp.zeros((MP,), bool).at[
+        jnp.where(l_ok, lids, MP)
+    ].set(l_ok, mode="drop")
+    mp_n_obs = jnp.where(processed, 0, mp_n_obs)
 
     return state._replace(
         kf_mp=kf_mp,
         mp_obs_kf=obs_kf,
         mp_obs_slot=obs_slot,
         mp_n_obs=mp_n_obs,
-        mp_valid=state.mp_valid & ~replaced,
+        mp_valid=state.mp_valid
+        & ~(jnp.zeros((MP,), bool).at[jnp.where(l_ok, lids, MP)].set(
+            l_ok, mode="drop")),
         obs_overflow=state.obs_overflow
         + jnp.sum(over | dup_add, dtype=jnp.int32),
     )
@@ -827,6 +928,196 @@ def _refresh_distinctive_descriptors(state: ms.MapState, aux, final_mask, max_ob
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_cams", "max_points")
+)
+def extract_local_ba_dense(
+    cfg: SlamConfig,
+    state: ms.MapState,
+    kf_id,
+    max_cams: int = 32,
+    max_points: int = 4096,
+):
+    """Build a DenseBAProblem straight from the map's inverted index: the
+    window's points keep their native (P, K) observer rows, so the LM loop
+    never scatters or gathers (see ops/ba.py DenseBAProblem).
+
+    Window semantics match `extract_local_ba` (reference
+    src/Optimizer.cc:461-510): free cams = kf_id + top covis, fixed cams =
+    other observers of the local points; observations at keyframes outside
+    the selected camera set are dropped from the problem (the flat extract
+    drops the same ones — both bound the fixed-anchor count)."""
+    KF, N = state.kf_mp.shape
+    MP = state.mp_pos.shape[0]
+    K = state.mp_obs_kf.shape[1]
+    w_row = state.covis[kf_id] * state.kf_valid
+    w_row = w_row.at[kf_id].set(jnp.iinfo(jnp.int32).max)
+    n_free = max_cams // 2
+    free_w, free_ids = jax.lax.top_k(w_row, n_free)
+    free_ok = free_w > 0
+    free_mask_kf = jnp.zeros((KF,), bool).at[free_ids].set(free_ok)
+
+    rows = jnp.take(state.kf_mp, free_ids, axis=0)  # (n_free, N)
+    rows_ok = free_ok[:, None] & (rows >= 0) & jnp.take(state.kf_kp_valid, free_ids, axis=0)
+    pt_mask = jnp.zeros((MP,), bool).at[jnp.where(rows_ok, rows, 0).reshape(-1)].set(
+        rows_ok.reshape(-1)
+    )
+    pt_mask = pt_mask & state.mp_valid
+    pt_ids = jnp.nonzero(pt_mask, size=max_points, fill_value=MP)[0]  # (P,)
+    ok_pt = pt_ids < MP
+    ptc = jnp.clip(pt_ids, 0, MP - 1)
+
+    # Observer entries: the points' own index rows.
+    e_kf = state.mp_obs_kf[ptc]  # (P, K)
+    e_slot = state.mp_obs_slot[ptc]
+    e_ok = ok_pt[:, None] & (e_kf >= 0)
+
+    obs_votes = jnp.zeros((KF + 1,), jnp.int32).at[
+        jnp.where(e_ok, e_kf, KF).reshape(-1)
+    ].add(1)[:KF]
+    fixed_cand = (obs_votes > 0) & ~free_mask_kf & state.kf_valid
+    n_fixed = max_cams - n_free
+    fixed_score = fixed_cand.astype(jnp.int32) * (1 + state.covis[kf_id])
+    fixed_w, fixed_ids = jax.lax.top_k(fixed_score, n_fixed)
+    fixed_ok = fixed_w > 0
+
+    cam_ids = jnp.concatenate([free_ids, fixed_ids])  # (C,)
+    cam_ok = jnp.concatenate([free_ok, fixed_ok])
+    cam_fixed = jnp.concatenate(
+        [jnp.zeros((n_free,), bool), jnp.ones((n_fixed,), bool)]
+    )
+    no_anchor = ~jnp.any(fixed_ok)
+    oldest = jnp.argmin(jnp.where(free_ok, free_ids, jnp.iinfo(jnp.int32).max))
+    cam_fixed = cam_fixed.at[oldest].set(cam_fixed[oldest] | no_anchor)
+
+    cam_local = jnp.full((KF + 1,), -1, jnp.int32).at[
+        jnp.where(cam_ok, cam_ids, KF)
+    ].set(jnp.arange(max_cams, dtype=jnp.int32))
+    cam_local = cam_local.at[KF].set(-1)
+
+    e_kfc = jnp.clip(e_kf, 0, KF - 1)
+    e_slotc = jnp.clip(e_slot, 0, N - 1)
+    e_cam = jnp.where(e_ok, jnp.take(cam_local, e_kfc), -1)  # (P, K)
+    e_mask = e_ok & (e_cam >= 0) & state.kf_kp_valid[e_kfc, e_slotc]
+    uv = state.kf_uv[e_kfc, e_slotc]  # (P, K, 2)
+    ur = jnp.where(e_mask, state.kf_ur[e_kfc, e_slotc], -1.0)
+    octv = state.kf_octave[e_kfc, e_slotc]
+    sf = cfg.orb.scale_factor
+    inv_sigma2 = jnp.asarray(
+        [1.0 / sf ** (2 * l) for l in range(cfg.orb.n_levels)], jnp.float32
+    )[octv]
+
+    prob = ba.DenseBAProblem(
+        cam_Tcw=jnp.take(state.kf_Tcw, cam_ids, axis=0),
+        cam_fixed=cam_fixed | ~cam_ok,
+        pt_pos=jnp.take(state.mp_pos, ptc, axis=0),
+        pt_valid=ok_pt,
+        e_cam=jnp.where(e_mask, e_cam, -1),
+        e_uv=uv,
+        e_ur=ur,
+        e_inv_sigma2=inv_sigma2,
+        e_mask=e_mask,
+    )
+    aux = {
+        "cam_ids": cam_ids,
+        "cam_ok": cam_ok,
+        "pt_ids": pt_ids,
+        "e_kf": e_kf,
+        "e_slot": e_slot,
+    }
+    return prob, aux
+
+
+def _refresh_descriptors_dense(state: ms.MapState, pt_ids, ok_pt):
+    """Min-median-Hamming representative descriptor per point (reference
+    MapPoint::ComputeDistinctiveDescriptors, src/MapPoint.cc:252-318),
+    computed directly on the points' (K-entry) observer rows."""
+    MP = state.mp_pos.shape[0]
+    KF, N = state.kf_mp.shape
+    ptc = jnp.clip(pt_ids, 0, MP - 1)
+    e_kf = state.mp_obs_kf[ptc]  # (P, K)
+    e_slot = state.mp_obs_slot[ptc]
+    e_ok = ok_pt[:, None] & (e_kf >= 0)
+    desc = state.kf_desc[
+        jnp.clip(e_kf, 0, KF - 1), jnp.clip(e_slot, 0, N - 1)
+    ]  # (P, K, 8)
+    x = jnp.bitwise_xor(desc[:, :, None, :], desc[:, None, :, :])
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
+    big = 1e9
+    d = jnp.where(e_ok[:, None, :], d, big)  # (P, K, K)
+    cnt = jnp.sum(e_ok, axis=1)
+    K = e_kf.shape[1]
+    d_sorted = jnp.sort(d, axis=2)
+    med_idx = jnp.clip((cnt - 1) // 2, 0, K - 1)
+    med = jnp.take_along_axis(
+        d_sorted, med_idx[:, None, None].repeat(K, 1), axis=2
+    )[:, :, 0]  # (P, K)
+    med = jnp.where(e_ok, med, big)
+    best = jnp.argmin(med, axis=1)
+    new_desc = jnp.take_along_axis(desc, best[:, None, None].repeat(8, 2), axis=1)[:, 0, :]
+    upd = (cnt >= 2) & ok_pt
+    tgt = jnp.where(upd, pt_ids, MP)
+    return state._replace(
+        mp_desc=state.mp_desc.at[jnp.clip(tgt, 0, MP - 1)].set(
+            jnp.where(upd[:, None], new_desc, state.mp_desc[ptc])
+        )
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def writeback_local_ba_dense(
+    cfg: SlamConfig, state: ms.MapState, prob: ba.DenseBAProblem, aux, final_mask
+):
+    """Write optimized poses/points back and erase outlier observations
+    (reference src/Optimizer.cc:717-763). Outlier entries are index entries
+    (point row, position k) by construction, so removal is two direct
+    scatters + a row compaction — no pair matching."""
+    MP = state.mp_pos.shape[0]
+    KF, N = state.kf_mp.shape
+    K = state.mp_obs_kf.shape[1]
+    upd_cam = aux["cam_ok"] & ~prob.cam_fixed
+    tgt_kf = jnp.where(upd_cam, aux["cam_ids"], KF)
+    kf_Tcw = state.kf_Tcw.at[tgt_kf].set(prob.cam_Tcw, mode="drop")
+    pt_ids = aux["pt_ids"]
+    ok_pt = pt_ids < MP
+    tgt_pt = jnp.where(ok_pt, pt_ids, MP)
+    mp_pos = state.mp_pos.at[tgt_pt].set(prob.pt_pos, mode="drop")
+
+    drop = prob.e_mask & ~final_mask  # (P, K)
+    e_kf = jnp.where(drop, aux["e_kf"], KF)
+    e_slot = jnp.where(drop, aux["e_slot"], 0)
+    kf_mp = state.kf_mp.at[e_kf, e_slot].set(INVALID, mode="drop")
+    # Remove the dropped entries from the index rows at their known
+    # positions, then compact the touched rows.
+    rowi = jnp.broadcast_to(tgt_pt[:, None], drop.shape)
+    coli = jnp.broadcast_to(jnp.arange(K)[None, :], drop.shape)
+    mp_obs_kf = state.mp_obs_kf.at[
+        jnp.where(drop, rowi, MP), coli
+    ].set(INVALID, mode="drop")
+    mp_obs_slot = state.mp_obs_slot.at[
+        jnp.where(drop, rowi, MP), coli
+    ].set(INVALID, mode="drop")
+    mp_obs_kf, mp_obs_slot = ms.obs_compact_rows(
+        mp_obs_kf, mp_obs_slot, tgt_pt, ok_pt
+    )
+    dec = jnp.sum(jnp.where(drop, jnp.where(prob.e_ur >= 0, 2, 1), 0), axis=1)
+    mp_n_obs = state.mp_n_obs.at[tgt_pt].add(-dec, mode="drop")
+    mp_n_obs = jnp.maximum(mp_n_obs, 0)
+    state = state._replace(
+        kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp, mp_n_obs=mp_n_obs,
+        mp_obs_kf=mp_obs_kf, mp_obs_slot=mp_obs_slot,
+    )
+    state = ms.update_point_geometry_ids(
+        state, pt_ids, ok_pt, cfg.orb.scale_factor, cfg.orb.n_levels
+    )
+    refresh_rows = jnp.where(aux["cam_ok"], aux["cam_ids"], -1)
+    if "extra_refresh" in aux:
+        refresh_rows = jnp.concatenate([refresh_rows, aux["extra_refresh"]])
+    state = ms.refresh_covisibility(state, refresh_rows)
+    state = _refresh_descriptors_dense(state, pt_ids, ok_pt)
+    return state
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def writeback_local_ba(cfg: SlamConfig, state: ms.MapState, prob: ba.BAProblem, aux, final_mask):
     """Write optimized poses/points back into the map and erase outlier
@@ -926,7 +1217,11 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
     # Only the covisible neighbors are candidates (reference iterates
     # GetVectorCovisibleKeyFrames, src/LocalMapping.cc:712) — evaluate the
     # redundancy test on the top-K of those.
-    MAXCAND = min(32, KF)
+    # Top-16 covis candidates per pass (the reference checks every covis
+    # neighbor, src/LocalMapping.cc:712, but re-runs on every keyframe —
+    # the top-by-weight subset converges to the same culls over passes at
+    # half the gather volume).
+    MAXCAND = min(16, KF)
     cand_w = jnp.where(cand_mask, state.covis[kf_id], 0)
     top_w, top_ids = jax.lax.top_k(cand_w, MAXCAND)
     red_top = jax.vmap(redundancy)(top_ids) & (top_w > 0)
@@ -967,45 +1262,50 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "n_neighbors"), donate_argnames=("state",)
-)
 def light_pass(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbors: int):
-    """Per-keyframe mandatory passes in ONE dispatch: map-point culling +
-    triangulation (reference runs these on every keyframe regardless of
-    queue pressure, src/LocalMapping.cc:75-85)."""
-    state = map_point_culling.__wrapped__(cfg, state, kf_id)
-    state, n_new = create_new_map_points.__wrapped__(
+    """Per-keyframe mandatory passes: map-point culling + triangulation
+    (reference runs these on every keyframe regardless of queue pressure,
+    src/LocalMapping.cc:75-85). Two async dispatches (see full_pass)."""
+    kf_id = jnp.int32(kf_id)
+    state = map_point_culling(cfg, state, kf_id)
+    state, n_new = create_new_map_points(
         cfg, state, kf_id, n_neighbors=n_neighbors
     )
     return state, n_new
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "run_ba", "cull"), donate_argnames=("state",)
-)
 def full_pass(cfg: SlamConfig, state: ms.MapState, kf_id,
               run_ba: bool = True, cull: bool = True):
-    """The optional mapper passes in ONE dispatch: neighbor fuse, local BA,
-    keyframe culling (reference runs these when its queue is empty,
-    src/LocalMapping.cc:86-102). Fusing them removes 6+ tunnel dispatches
-    per keyframe and lets XLA overlap the stages."""
+    """The optional mapper passes: neighbor fuse, local BA, keyframe
+    culling (reference runs these when its queue is empty,
+    src/LocalMapping.cc:86-102).
+
+    Each stage is its OWN async dispatch (and each local-BA LM step too):
+    on the target chip a long fused program pessimizes per-op performance
+    ~2.5-4x (layout/scheduling degrade with program size) while an async
+    dispatch costs the host ~0.15 ms and never blocks on the tunnel — the
+    round-2 single-dispatch fusion optimized the wrong quantity."""
     cam = cfg.camera
+    kf_id = jnp.int32(kf_id)
     # geometry refresh inside fuse is redundant when BA's writeback follows
     # (BA moves the points and refreshes geometry itself)
-    state = fuse_neighbors.__wrapped__(
+    state, fuse_tgts = fuse_neighbors(
         cfg, state, kf_id, refresh_derived=not run_ba
     )
     if run_ba:
-        prob, aux = extract_local_ba.__wrapped__(cfg, state, kf_id)
-        prob, final_mask = ba.local_ba(
+        prob, aux = extract_local_ba_dense(cfg, state, kf_id)
+        prob, final_mask = ba.local_ba_dense(
             prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
             iters1=cfg.mapping.local_ba_iters1,
             iters2=cfg.mapping.local_ba_iters2,
+            n_free=prob.cam_Tcw.shape[0] // 2,  # extract's free/fixed split
         )
-        state = writeback_local_ba.__wrapped__(cfg, state, prob, aux, final_mask)
+        # Fold the fuse targets into the writeback's covis refresh (the
+        # fuse itself only refreshed the new keyframe's row).
+        aux = dict(aux, extra_refresh=fuse_tgts)
+        state = writeback_local_ba_dense(cfg, state, prob, aux, final_mask)
     if cull:
-        state, culled_mask = keyframe_culling.__wrapped__(cfg, state, kf_id)
+        state, culled_mask = keyframe_culling(cfg, state, kf_id)
     else:
         culled_mask = jnp.zeros(state.kf_valid.shape, bool)
     return state, culled_mask
@@ -1035,11 +1335,19 @@ class LocalMapper:
         run_ba: bool = True,
         cull_keyframes: bool = True,
         full_every: int = 1,
+        cull_every: int = 2,
     ):
         self.cfg = cfg
         self.run_ba = run_ba
         self.cull = cull_keyframes
         self.full_every = max(1, full_every)
+        # Keyframe culling runs on every `cull_every`-th FULL pass: the
+        # redundancy test re-evaluates the same covisible neighborhood each
+        # time, so halving its frequency converges to the same culls at
+        # half the gather cost (the reference also skips culling whenever
+        # its queue is non-empty, src/LocalMapping.cc:86-102).
+        self.cull_every = max(1, cull_every)
+        self._since_cull = 0
         self._since_full = 0
         # Deferred (device-scalar) counters: converting per-call would stall
         # the in-flight dispatch pipeline for a tunnel RTT each keyframe.
@@ -1074,10 +1382,14 @@ class LocalMapper:
             return state
         self._since_full = 0
         run_ba = self.run_ba and kf_id >= 2
-        state, culled_mask = full_pass(cfg, state, kf, run_ba=run_ba, cull=self.cull)
+        self._since_cull += 1
+        do_cull = self.cull and self._since_cull >= self.cull_every
+        if do_cull:
+            self._since_cull = 0
+        state, culled_mask = full_pass(cfg, state, kf, run_ba=run_ba, cull=do_cull)
         if run_ba:
             self._ba_runs += 1
-        if self.cull:
+        if do_cull:
             # Exposed so the owning pipeline can sync the keyframe database
             # (reference SetBadFlag -> KeyFrameDatabase::erase).
             self.last_culled_mask = culled_mask

@@ -135,6 +135,38 @@ def match_and_sim3(cfg: SlamConfig, state: ms.MapState, kf_cur, kf_cand, key):
     return ok, opt["S12"], opt["n_inliers"], idx_m, ok_m & opt["inliers"]
 
 
+@functools.partial(jax.jit, static_argnames=("consistency_th",))
+def consistency_check(
+    state: ms.MapState, cand_ids, prev_masks, prev_counts, consistency_th: int
+):
+    """Covisibility-consistency bookkeeping ON DEVICE (reference
+    src/LoopClosing.cc:186-247): a candidate's group (candidate + covis>=15
+    neighbors) must intersect a previous keyframe's consistent group for
+    `consistency_th` consecutive keyframes before the candidate is eligible.
+
+    The reference walks std::sets on the CPU; here the groups are (C, KF)
+    bitmasks so the whole update is one batched intersection — the host
+    never reads the (KF, KF) covisibility matrix back (a 9.4 MB readback
+    per keyframe at KITTI capacity).
+
+    cand_ids: (C,) i32, -1 padded. prev_masks: (G, KF) bool, prev_counts:
+    (G,) i32 — the previous keyframe's groups (zeros when none).
+    Returns (new_masks (C, KF), new_counts (C,), enough (C,) bool).
+    """
+    C = cand_ids.shape[0]
+    ok = cand_ids >= 0
+    cid = jnp.maximum(cand_ids, 0)
+    groups = state.covis[cid] >= 15  # (C, KF)
+    groups = groups.at[jnp.arange(C), cid].set(True) & state.kf_valid[None, :]
+    groups = groups & ok[:, None]
+    overlap = jnp.any(groups[:, None, :] & prev_masks[None, :, :], axis=2)  # (C, G)
+    counts = jnp.max(
+        jnp.where(overlap, prev_counts[None, :] + 1, 0), axis=1
+    ).astype(jnp.int32)
+    enough = ok & (counts >= consistency_th)
+    return groups, jnp.where(ok, counts, 0), enough
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def count_loop_point_matches(cfg: SlamConfig, state: ms.MapState, kf_cur, kf_cand, S_cur_cand):
     """Step 2d: project the candidate neighborhood's map points into the
@@ -209,6 +241,7 @@ def _search_and_fuse_group(
     sf_tab = jnp.asarray([sf ** l for l in range(cfg.orb.n_levels)], jnp.float32)
     log_sf = float(np.log(sf))
 
+    n_loop_pts = jnp.sum(loop_pt_mask & state.mp_valid, dtype=jnp.int32)
     cand = jnp.nonzero(
         loop_pt_mask & state.mp_valid, size=min(max_loop_pts, MP), fill_value=MP
     )[0]
@@ -221,6 +254,16 @@ def _search_and_fuse_group(
     g_w = g_w.at[kf_cur].set(jnp.iinfo(jnp.int32).max)
     gw, gids = jax.lax.top_k(g_w, min(n_members, KF))
     g_ok = gw > 0
+    # Surface both static caps: group members beyond the top-`n_members`
+    # and loop points beyond `max_loop_pts` are silently skipped — count
+    # them so drivers can see the truncation instead of inferring "covered".
+    skipped_members = jnp.maximum(
+        jnp.sum(group, dtype=jnp.int32) - jnp.sum(g_ok, dtype=jnp.int32), 0
+    )
+    skipped_pts = jnp.maximum(n_loop_pts - min(max_loop_pts, MP), 0)
+    state = state._replace(
+        cap_overflow=state.cap_overflow + skipped_members + skipped_pts
+    )
 
     pos = jnp.take(state.mp_pos, cand, axis=0)
     nrm = jnp.take(state.mp_normal, cand, axis=0)
@@ -299,7 +342,10 @@ def _search_and_fuse_group(
             jnp.where(replaced, state.mp_visible, 0)
         ),
     )
-    state = _apply_replacements(state, replace_map, replaced)
+    # Loop fusions can replace thousands of revisit duplicates at once —
+    # keep the large loser budget here (rare event; the per-keyframe fuse
+    # uses the small default).
+    state = _apply_replacements(state, replace_map, replaced, max_losers=4096)
     state = ms.refresh_covisibility(state, jnp.where(g_ok, gids, -1))
     return state
 
@@ -313,7 +359,6 @@ def _search_and_fuse_group(
 def correct_loop_state(
     cfg: SlamConfig,
     state: ms.MapState,
-    db_loop_edges,  # unused placeholder for future
     kf_cur,
     kf_cand,
     S_cur_cand,
@@ -659,7 +704,9 @@ class LoopCloser:
         self.async_global_ba = async_global_ba
         self.pending_gba: Optional[AsyncGba] = None
         self.last_loop_kf = -(10 ** 9)
-        self.consistent_groups = []  # list[(set_of_kf, count)]
+        # Device-resident consistency chains (lazily sized on first use).
+        self._group_masks = None  # (C, KF) bool
+        self._group_counts = None  # (C,) i32
         self._key = jax.random.PRNGKey(11)
         self.loops_closed = 0
         self.gbas_completed = 0
@@ -692,28 +739,30 @@ class LoopCloser:
         # One dispatch: BoW scores vs all keyframes, min-score floor over the
         # covisible neighbors, shared-word/accumulated-group gating
         # (reference :140-208).
-        ids, scores, _min_score = kdb.detect_loop_candidates(
+        ids_dev, scores, _min_score = kdb.detect_loop_candidates(
             db, state, jnp.int32(kf_id)
         )
-        ids = [int(i) for i in np.asarray(ids) if i >= 0]
-        if not ids:
-            self.consistent_groups = []
+        # Covisibility consistency over consecutive keyframes (:186-247) —
+        # group masks live on device; per keyframe the host reads back only
+        # the (C,) candidate ids + eligibility bits.
+        if self._group_masks is None:
+            KF = state.kf_valid.shape[0]
+            C = ids_dev.shape[0]
+            self._group_masks = jnp.zeros((C, KF), bool)
+            self._group_counts = jnp.zeros((C,), jnp.int32)
+        masks, counts, enough_dev = consistency_check(
+            state, ids_dev, self._group_masks, self._group_counts,
+            cfg.loop.covisibility_consistency_th,
+        )
+        ids = np.asarray(ids_dev)
+        if not (ids >= 0).any():
+            # No candidates at all: clear the consistency chains (reference
+            # mvConsistentGroups.clear() on the empty-candidate path).
+            self._group_masks = jnp.zeros_like(self._group_masks)
+            self._group_counts = jnp.zeros_like(self._group_counts)
             return state, False
-
-        # Covisibility consistency over consecutive keyframes (:186-247).
-        covis = np.asarray(state.covis)
-        enough = []
-        new_groups = []
-        for cand in ids:
-            cand_group = set(np.nonzero(covis[cand] >= 15)[0].tolist()) | {cand}
-            best_count = 0
-            for prev_set, count in self.consistent_groups:
-                if cand_group & prev_set:
-                    best_count = max(best_count, count + 1)
-            new_groups.append((cand_group, best_count))
-            if best_count >= cfg.loop.covisibility_consistency_th:
-                enough.append(cand)
-        self.consistent_groups = new_groups
+        self._group_masks, self._group_counts = masks, counts
+        enough = [int(i) for i, e in zip(ids, np.asarray(enough_dev)) if e]
         if not enough:
             return state, False
 
@@ -732,7 +781,7 @@ class LoopCloser:
                 continue
             # Accept: correct the loop.
             state = correct_loop_state(
-                cfg, state, None, jnp.int32(kf_id), jnp.int32(cand),
+                cfg, state, jnp.int32(kf_id), jnp.int32(cand),
                 S12, loop_pts, kp_match,
             )
             if self.run_global_ba:
@@ -753,7 +802,8 @@ class LoopCloser:
                     )
                     state = writeback_global_ba(cfg, state, prob)
             self.last_loop_kf = kf_id
-            self.consistent_groups = []
+            self._group_masks = jnp.zeros_like(self._group_masks)
+            self._group_counts = jnp.zeros_like(self._group_counts)
             self.loops_closed += 1
             return state, True
         return state, False

@@ -227,6 +227,42 @@ def obs_remove_pairs(mp_obs_kf, mp_obs_slot, pid, kf, slot, mask):
     return mp_obs_kf, mp_obs_slot
 
 
+def obs_add_pairs_multi(mp_obs_kf, mp_obs_slot, pid, kf, slot, mask, cnt):
+    """Append observations (kf, slot) to the index rows of `pid`, where pids
+    MAY repeat within the batch (a point gaining several observations in one
+    pass). Insert positions are computed by sorted ranking: entries grouped
+    by pid, rank within the group, position = current row count + rank.
+
+    REQUIRES: the distinct pids' rows are compacted (first free position ==
+    entry count — run obs_compact_rows first if unsure), and `cnt` gives
+    each entry's pid's CURRENT entry count (caller usually has it already
+    from a prior row gather). Returns (obs_kf, obs_slot, did (E,),
+    n_overflow)."""
+    MP, K = mp_obs_kf.shape
+    E = pid.shape[0]
+    okp = mask & (pid >= 0) & (pid < MP)
+    pm = jnp.where(okp, pid, MP)
+    order = jnp.argsort(pm, stable=True)
+    sp = pm[order]
+    skf = kf[order]
+    ss = slot[order]
+    scnt = cnt[order]
+    svalid = sp < MP
+    lin = jnp.arange(E, dtype=jnp.int32)
+    first_pos = jnp.full((MP + 1,), E, jnp.int32).at[sp].min(lin)
+    rank = lin - jnp.take(first_pos, sp)
+    j = scnt + rank
+    accept = svalid & (j < K)
+    mp_obs_kf = mp_obs_kf.at[
+        jnp.where(accept, sp, MP), jnp.clip(j, 0, K - 1)
+    ].set(skf, mode="drop")
+    mp_obs_slot = mp_obs_slot.at[
+        jnp.where(accept, sp, MP), jnp.clip(j, 0, K - 1)
+    ].set(ss, mode="drop")
+    did = jnp.zeros((E,), bool).at[order].set(accept)
+    return mp_obs_kf, mp_obs_slot, did, jnp.sum(svalid & ~accept, dtype=jnp.int32)
+
+
 def obs_compact_rows(mp_obs_kf, mp_obs_slot, pid, mask):
     """Compact the index rows of `pid` (valid entries first, holes at the
     end) so ranked multi-append can use entry counts as insert positions.

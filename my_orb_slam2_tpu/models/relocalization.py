@@ -1,11 +1,23 @@
 """Relocalization: recover the pose of a lost frame from the keyframe
 database (reference Tracking::Relocalization, src/Tracking.cc:1444-1635).
 
-Pipeline per candidate keyframe (batched where possible):
+Pipeline per candidate keyframe:
   BoW candidates -> descriptor matching (>=15) -> EPnP RANSAC over the
   matched MapPoints -> pose optimization (>=10 inliers) -> projection
   rescue against the candidate's map points (th=10, ORBdist=100) ->
   pose optimization again, accept at >=50 inliers.
+
+All candidates are evaluated in ONE device dispatch (`lax.map` over the
+candidate axis) and the accepted candidate with the most inliers wins —
+the TPU-native equivalent of the reference's round-robin over candidates
+(src/Tracking.cc:1519-1530 alternates 5 RANSAC iterations per candidate
+so no single candidate's 300 iterations block the others; batching removes
+the ordering entirely and the host pays one round-trip instead of up to
+`max_candidates` sequential dispatch chains while lost).
+
+The projection-rescue searches are COMPACTED to the candidate keyframe's
+own observation row (<= N points): the previous MP-wide formulation would
+materialize a (MP x N) distance matrix — 2 GB at KITTI capacity.
 """
 
 from __future__ import annotations
@@ -24,8 +36,47 @@ from my_orb_slam2_tpu.ops.epnp import ransac_epnp
 from my_orb_slam2_tpu.utils.config import SlamConfig
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _try_candidate(cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_id, key):
+def _rescue_search(
+    cfg: SlamConfig, state, frame, Tcw, cand_pts, cand_search, cur_mp_in,
+    radius: float, orb_dist: float, extra_gate,
+):
+    """Project the candidate KF's (compacted) points with the current pose
+    estimate and claim still-free keypoints (reference rescue pattern,
+    src/Tracking.cc:1548-1581 / 1597-1608)."""
+    cam = cfg.camera
+    from my_orb_slam2_tpu.ops.projection import project_stereo
+
+    pts_w = jnp.take(state.mp_pos, cand_pts, axis=0)  # (Nc, 3)
+    uvr, z = project_stereo(Tcw, pts_w, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    in_img = (
+        (uvr[:, 0] >= 0) & (uvr[:, 0] < cam.width)
+        & (uvr[:, 1] >= 0) & (uvr[:, 1] < cam.height) & (z > 0)
+    )
+    Nc = cand_pts.shape[0]
+    idx, ok, _ = matching.search_by_projection(
+        uvr[:, :2],
+        jnp.zeros((Nc,), jnp.int32),
+        cand_search & in_img & extra_gate,
+        jnp.take(state.mp_desc, cand_pts, axis=0),
+        jnp.full((Nc,), radius),
+        frame.uv,
+        frame.octave,
+        frame.valid,
+        frame.desc,
+        level_lo=jnp.zeros((Nc,), jnp.int32),
+        level_hi=jnp.full((Nc,), cfg.orb.n_levels - 1, jnp.int32),
+        max_dist=orb_dist,
+        ratio=1.0,
+        kp_taken=cur_mp_in >= 0,
+    )
+    N = frame.uv.shape[0]
+    add_mp = jnp.full((N,), ms.INVALID, jnp.int32).at[
+        jnp.where(ok, idx, N - 1)
+    ].max(jnp.where(ok, cand_pts, ms.INVALID), mode="drop")
+    return jnp.where(cur_mp_in >= 0, cur_mp_in, add_mp), jnp.sum(ok)
+
+
+def _try_candidate_impl(cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_id, key):
     """Attempt relocalization against one candidate keyframe.
 
     Returns (ok, Tcw, cur_mp, n_inliers).
@@ -73,40 +124,18 @@ def _try_candidate(cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_id,
     )
     cur_mp2 = jnp.where(po["inliers"], cur_mp1, ms.INVALID)
 
-    # 4. projection rescue: search the candidate KF's map points not yet
-    # matched (reference :1548-1581, th=10, ORBdist=100).
-    from my_orb_slam2_tpu.ops.projection import project_stereo
+    # Compacted rescue candidates: the keyframe's own observation row.
+    cand_pts = jnp.where(has_mp, kf_mp, 0)  # (Nc,)
+    cand_valid = has_mp & jnp.take(state.mp_valid, cand_pts) & state.kf_kp_valid[kf_id]
 
-    kf_pts_mask = jnp.zeros((MP,), bool).at[jnp.where(has_mp, kf_mp, 0)].set(has_mp)
-    kf_pts_mask = kf_pts_mask & state.mp_valid
+    # 4. projection rescue: candidate KF's points not yet matched
+    # (reference :1548-1581, th=10, ORBdist=100).
     already = jnp.zeros((MP,), bool).at[jnp.where(cur_mp2 >= 0, cur_mp2, 0)].set(cur_mp2 >= 0)
-    search = kf_pts_mask & ~already
-    uvr, z = project_stereo(po["Tcw"], state.mp_pos, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
-    in_img = (
-        (uvr[:, 0] >= 0) & (uvr[:, 0] < cam.width)
-        & (uvr[:, 1] >= 0) & (uvr[:, 1] < cam.height) & (z > 0)
+    search1 = cand_valid & ~jnp.take(already, cand_pts)
+    cur_mp3, _n_add = _rescue_search(
+        cfg, state, frame, po["Tcw"], cand_pts, search1, cur_mp2,
+        radius=10.0, orb_dist=100.0, extra_gate=jnp.ones_like(search1),
     )
-    idx2, ok2, _ = matching.search_by_projection(
-        uvr[:, :2],
-        jnp.zeros((MP,), jnp.int32),
-        search & in_img,
-        state.mp_desc,
-        jnp.full((MP,), 10.0),
-        frame.uv,
-        frame.octave,
-        frame.valid,
-        frame.desc,
-        level_lo=jnp.zeros((MP,), jnp.int32),
-        level_hi=jnp.full((MP,), cfg.orb.n_levels - 1, jnp.int32),
-        max_dist=100.0,
-        ratio=1.0,
-        kp_taken=cur_mp2 >= 0,
-    )
-    N = frame.uv.shape[0]
-    add_mp = jnp.full((N,), ms.INVALID, jnp.int32).at[
-        jnp.where(ok2, idx2, N - 1)
-    ].max(jnp.where(ok2, jnp.arange(MP), ms.INVALID), mode="drop")
-    cur_mp3 = jnp.where(cur_mp2 >= 0, cur_mp2, add_mp)
 
     # 5. final pose optimization
     lm3 = jnp.where(cur_mp3 >= 0, cur_mp3, 0)
@@ -125,37 +154,15 @@ def _try_candidate(cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_id,
     already2 = jnp.zeros((MP,), bool).at[
         jnp.where(cur_mp_final >= 0, cur_mp_final, 0)
     ].set(cur_mp_final >= 0)
-    search2 = kf_pts_mask & ~already2
-    uvr2, z2 = project_stereo(
-        po2["Tcw"], state.mp_pos, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+    search2 = cand_valid & ~jnp.take(already2, cand_pts)
+    cur_mp4, n_add3 = _rescue_search(
+        cfg, state, frame, po2["Tcw"], cand_pts, search2, cur_mp_final,
+        radius=3.0, orb_dist=64.0,
+        extra_gate=jnp.broadcast_to(need2, search2.shape),
     )
-    in_img2 = (
-        (uvr2[:, 0] >= 0) & (uvr2[:, 0] < cam.width)
-        & (uvr2[:, 1] >= 0) & (uvr2[:, 1] < cam.height) & (z2 > 0)
-    )
-    idx3, ok3, _ = matching.search_by_projection(
-        uvr2[:, :2],
-        jnp.zeros((MP,), jnp.int32),
-        search2 & in_img2 & need2,
-        state.mp_desc,
-        jnp.full((MP,), 3.0),
-        frame.uv,
-        frame.octave,
-        frame.valid,
-        frame.desc,
-        level_lo=jnp.zeros((MP,), jnp.int32),
-        level_hi=jnp.full((MP,), cfg.orb.n_levels - 1, jnp.int32),
-        max_dist=64.0,
-        ratio=1.0,
-        kp_taken=cur_mp_final >= 0,
-    )
-    add3 = jnp.full((N,), ms.INVALID, jnp.int32).at[
-        jnp.where(ok3, idx3, N - 1)
-    ].max(jnp.where(ok3, jnp.arange(MP), ms.INVALID), mode="drop")
-    cur_mp4 = jnp.where(cur_mp_final >= 0, cur_mp_final, add3)
     # re-optimize only counts when the combined match set clears 50
     # (reference: nGood+nadditional>=50 gates the final optimization).
-    run2 = need2 & (n_final + jnp.sum(ok3) >= 50)
+    run2 = need2 & (n_final + n_add3 >= 50)
     lm4 = jnp.where(cur_mp4 >= 0, cur_mp4, 0)
     m4 = (cur_mp4 >= 0) & jnp.take(state.mp_valid, lm4) & run2
     po3 = pose_opt.pose_optimization(
@@ -172,8 +179,45 @@ def _try_candidate(cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_id,
     return accept, Tcw_out, cur_out, n_out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _try_candidate(cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_id, key):
+    return _try_candidate_impl(cfg, state, frame, kf_id, key)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _try_all_candidates(
+    cfg: SlamConfig, state: ms.MapState, frame: FrameData, kf_ids, key
+):
+    """Evaluate every candidate in one dispatch; the accepted candidate with
+    the most final inliers wins. Sequential on the device stream (lax.map —
+    each chain materializes (N x N) search matrices; running all at once
+    would multiply that workspace by the candidate count) but only ONE
+    host round-trip."""
+    C = kf_ids.shape[0]
+    keys = jax.random.split(key, C)
+    ok_c = kf_ids >= 0
+
+    def one(args):
+        kid, okc, k = args
+        acc, Tcw, cur, n = _try_candidate_impl(
+            cfg, state, frame, jnp.maximum(kid, 0), k
+        )
+        return acc & okc, Tcw, cur, n
+
+    accs, Tcws, curs, ns = jax.lax.map(one, (kf_ids, ok_c, keys))
+    score = jnp.where(accs, ns, -1)
+    best = jnp.argmax(score)
+    return (
+        accs[best],
+        Tcws[best],
+        curs[best],
+        ns[best],
+        jnp.maximum(kf_ids[best], 0),
+    )
+
+
 class Relocalizer:
-    """Host driver: query candidates, try each until one accepts."""
+    """Host driver: query candidates, evaluate all in one dispatch."""
 
     def __init__(self, cfg: SlamConfig, vocab):
         self.cfg = cfg
@@ -183,14 +227,12 @@ class Relocalizer:
     def relocalize(self, state: ms.MapState, db: kdb.KfDatabase, frame: FrameData):
         words = self.vocab.words(frame.desc)
         ids, scores = kdb.detect_reloc_candidates(db, state, words, frame.valid)
-        ids = np.asarray(ids)
-        for kf_id in ids:
-            if kf_id < 0:
-                continue
-            self._key, sub = jax.random.split(self._key)
-            ok, Tcw, cur_mp, n = _try_candidate(
-                self.cfg, state, frame, jnp.int32(int(kf_id)), sub
-            )
-            if bool(ok):
-                return True, np.asarray(Tcw), cur_mp, int(n), int(kf_id)
+        if not bool(np.asarray(ids >= 0).any()):
+            return False, None, None, 0, -1
+        self._key, sub = jax.random.split(self._key)
+        ok, Tcw, cur_mp, n, kf = _try_all_candidates(
+            self.cfg, state, frame, ids, sub
+        )
+        if bool(ok):
+            return True, np.asarray(Tcw), cur_mp, int(n), int(kf)
         return False, None, None, 0, -1

@@ -88,7 +88,13 @@ class SlamSystem:
         if capacity is None:
             capacity = self.factory.capacity if use_images else cfg.orb.padded_n_features
         self.capacity = capacity
-        self.vocab = vocab or bow_ops.LshVocabulary(n_bits=16)
+        if vocab is None:
+            # Packed k=10/L=4 tree asset (the reference loads ORBvoc.txt
+            # here, src/System.cc:64-72); LSH fallback if absent.
+            from my_orb_slam2_tpu.utils.vocab_io import default_vocabulary
+
+            vocab = default_vocabulary()
+        self.vocab = vocab
         self.db = kdb.init_db(cfg.capacity.max_keyframes, capacity, self.vocab.n_words)
         self.local_mapper = LocalMapper(cfg)
         self.loop_closer = LoopCloser(cfg, self.vocab, run_global_ba=run_global_ba_on_loop)

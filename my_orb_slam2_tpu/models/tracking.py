@@ -322,13 +322,20 @@ def track_local_map(
     # --- K2: covisible neighborhood of K1 ---------------------------------
     k1 = k1_score > 0
     neigh_w = jnp.max(jnp.where(k1[:, None], state.covis, 0), axis=0)  # (KF,)
-    # Parent of ref KF also included (reference adds parents/children).
-    parent = state.kf_parent[ref_kf]
-    par_mask = (jnp.arange(KF) == parent) & (parent >= 0)
+    # Parents AND children of every K1 member (reference adds each K1
+    # keyframe's spanning-tree children and parent to the local set,
+    # src/Tracking.cc:1395-1420) — children = KFs whose parent is in K1,
+    # parents = scatter of K1 members' kf_parent entries.
+    par_ids = state.kf_parent  # (KF,)
+    parent_mask = jnp.zeros((KF,), bool).at[
+        jnp.where(k1 & (par_ids >= 0), par_ids, 0)
+    ].set(k1 & (par_ids >= 0))
+    child_mask = (par_ids >= 0) & jnp.take(k1, jnp.maximum(par_ids, 0))
+    tree_mask = parent_mask | child_mask
     local_score = (
         k1_score.astype(jnp.float32) * 1e6
         + neigh_w.astype(jnp.float32)
-        + par_mask.astype(jnp.float32)
+        + tree_mask.astype(jnp.float32)
     ) * state.kf_valid
     cap = min(cfg.tracking.max_local_keyframes, KF)
     top_scores, top_ids = jax.lax.top_k(local_score, cap)
@@ -385,7 +392,13 @@ def track_local_map(
     # Compact the candidate set: only in-frustum local points enter the
     # (candidates x keypoints) Hamming/window search. The frustum pass runs
     # over all MP rows (cheap elementwise), but the quadratic search drops
-    # from MP x N to MAXC x N.
+    # from MP x N to MAXC x N. At KITTI capacity the mature local map keeps
+    # ~7k points in frustum, so this cap truncates (counted in
+    # cap_overflow); raising it to 8192 was measured to WORSEN ATE 5x on
+    # the capacity drive (the extra, mostly-distant candidates alias into
+    # wrong matches) at zero fps gain — the low-index-first truncation
+    # behaves as an accidental age prior and 4096 is the better operating
+    # point.
     MAXC = min(4096, MP)
     n_frustum = jnp.sum(in_frustum, dtype=jnp.int32)
     state = state._replace(
@@ -642,8 +655,15 @@ def track_frame(
     # The ref-KF pose feeds the relative trajectory log without another RTT.
     ref_kf_now = stats6[4].astype(jnp.int32)
     T_ref = state.kf_Tcw[ref_kf_now]
+    # Overflow counters ride the same packed readback: silent-cap events
+    # (compaction truncation, observation-list saturation) become visible
+    # in every frame's info dict at zero extra RTT cost.
+    overflow = jnp.stack([state.cap_overflow, state.obs_overflow]).astype(
+        jnp.float32
+    )
     packed = jnp.concatenate(
-        [res_l.Tcw.reshape(16), stats.astype(jnp.float32), T_ref.reshape(16)]
+        [res_l.Tcw.reshape(16), stats.astype(jnp.float32), T_ref.reshape(16),
+         overflow]
     )
     # res_l.Tcw is returned separately as well so the host can chain it into
     # the next dispatch as a device array without ever reading it back.
@@ -688,6 +708,7 @@ class Tracker:
         # whole trajectory.
         self.trajectory = []
         self.kf_counter = 0
+        self.kf_capacity_refusals = 0  # NeedNewKeyFrame hits the KF cap
         self.only_tracking = False  # localization mode (no KF insertion)
         self.mb_vo = False  # VO mode: few map matches in localization mode
         self.needs_reset = False  # lost-near-init auto-reset signal
@@ -703,6 +724,7 @@ class Tracker:
         self.pipelined = False
         self.pipeline_depth = 2
         self._pending = []  # FIFO of (frame, ts, frame_id, cur_mp_dev, packed_dev)
+        self._anchor_mode = False  # pipelined temporal-VO anchors (hysteresis)
 
     # -- initialization ----------------------------------------------------
 
@@ -797,7 +819,22 @@ class Tracker:
         min_obs = 2 if self.n_kf <= 2 else 3
         has_vel = self._chain_prev is not None
         prev = self._chain_prev if has_vel else np.eye(4, dtype=np.float32)
-        loc_vo = self.only_tracking and self.cfg.camera.bf > 0
+        # Temporal VO anchors in the motion search: localization mode
+        # (reference UpdateLastFrame, src/Tracking.cc:849-913) and, in
+        # pipelined mode, ADAPTIVELY when the motion stage starves. The
+        # reference creates a new keyframe's close stereo points IN the
+        # tracking thread, instantly visible to the next frame
+        # (src/Tracking.cc:1142-1226); pipelined dispatch defers that by
+        # `pipeline_depth` frames, so under keyframe-per-frame cadence the
+        # motion model can starve on the lagged map — the same coverage gap
+        # localization mode's mbVO handles, with the same remedy. Anchors
+        # stay OFF while map matches are plentiful (they anchor to the
+        # previous pose and dilute the global map constraints — measured to
+        # destabilize tracking when coverage is healthy), with hysteresis
+        # in _resolve_one.
+        loc_vo = (
+            self.only_tracking or (self.pipelined and self._anchor_mode)
+        ) and self.cfg.camera.bf > 0
         self.map, cur_mp, packed_dev, Tcw_dev = track_frame(
             self.cfg, self.map, frame,
             self.last_frame.uv, self.last_mp, self.last_frame.valid,
@@ -842,10 +879,23 @@ class Tracker:
         Tcw_res = packed[:16].reshape(4, 4)
         stats = packed[16:25]
         self._ref_pose_host = packed[25:41].reshape(4, 4)
+        info["cap_overflow"] = int(packed[41])
+        info["obs_overflow"] = int(packed[42])
         n_inliers = int(stats[0])
         stage1_inl = int(stats[6])
         info["motion_inliers" if stats[7] else "refkf_inliers"] = stage1_inl
         info["localmap_inliers"] = n_inliers
+        # Anchor-mode hysteresis (see track()): engage when the motion
+        # stage starves on the lagged map, release when MAP coverage
+        # recovers — judged on map-only inliers (stats[8]); the anchors
+        # inflate the raw stage-1 count by design, so gating on it would
+        # release while the map is still starved and oscillate.
+        if self.pipelined and not self.only_tracking:
+            map_inl = int(stats[8])
+            if map_inl < 40:
+                self._anchor_mode = True
+            elif map_inl > 80:
+                self._anchor_mode = False
         recently_reloc = fid - self.last_reloc_frame_id < int(self.cfg.camera.fps)
         min_inl = (
             self.cfg.tracking.min_localmap_inliers_after_reloc
@@ -949,9 +999,14 @@ class Tracker:
         c1b = frames_since_kf >= cfg.tracking.min_frames_between_kf
         c1c = cfg.camera.bf > 0 and (n_inliers < ref_matches * 0.25 or need_close)
         c2 = (n_inliers < ref_matches * th_ref or need_close) and n_inliers > 15
-        if n_kfs >= self.cfg.capacity.max_keyframes:
+        want = bool((c1a or c1b or c1c) and c2)
+        if want and n_kfs >= self.cfg.capacity.max_keyframes:
+            # Capacity refusal is a silent behavioral divergence from the
+            # reference (which has no KF cap) — count it so drivers/benches
+            # can surface map-saturation instead of it hiding as "no KF".
+            self.kf_capacity_refusals += 1
             return False
-        return bool((c1a or c1b or c1c) and c2)
+        return want
 
     def _log_pose(self, timestamp: float, frame_id=None):
         lost = self.state != TrackingState.OK

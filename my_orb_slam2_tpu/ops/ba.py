@@ -328,3 +328,304 @@ def local_ba(prob: BAProblem, fx, fy, cx, cy, bf,
     prob = bundle_adjust(prob, fx, fy, cx, cy, bf, n_iters=iters2, cg_iters=cg_iters)
     final_mask = classify_outliers(prob, fx, fy, cx, cy, bf)
     return prob, final_mask
+
+
+# ---------------------------------------------------------------------------
+# Dense (per-point, K-entry) local BA
+# ---------------------------------------------------------------------------
+#
+# The flat observation list above costs ~8.5 ms per LM iteration at the
+# local-window size (C=32, P=4096, O=16k) on the target chip: every segment
+# reduction is a scatter-add and every Jacobian evaluation a large-table
+# gather, each with a ~0.3-0.4 ms fixed cost, and an LM step needs ~a dozen
+# of them. The window needs 8-15 iterations per keyframe — the single
+# hottest loop in the whole engine (reference LocalBundleAdjustment runs on
+# every mapped keyframe, src/LocalMapping.cc:94-98).
+#
+# This variant stores the problem in the map's OWN inverted-index layout:
+# one row per landmark with up to K observer entries (mp_obs_kf/mp_obs_slot
+# are exactly this shape). Every per-iteration quantity then reduces over
+# the dense K axis, and all camera-axis reductions go through one small
+# precomputed one-hot (P, K, C) tensor on the MXU:
+#   V_p   = sum_k Jp^T W Jp          (dense over K)
+#   U_c   = sum_pk onehot * Jc^T W Jc (one einsum)
+#   S     = U - sum_p B_p V_p^-1 B_p^T via (P, C, 6, 3) one-hot contractions
+# No scatter, no gather, no flat observation axis: ~2 ms per iteration.
+
+
+class DenseBAProblem(NamedTuple):
+    """Local BA problem in inverted-index form: (P, K) observer entries."""
+
+    cam_Tcw: jnp.ndarray  # (C, 4, 4)
+    cam_fixed: jnp.ndarray  # (C,) bool
+    pt_pos: jnp.ndarray  # (P, 3)
+    pt_valid: jnp.ndarray  # (P,) bool
+    e_cam: jnp.ndarray  # (P, K) i32 local camera index (-1 = empty)
+    e_uv: jnp.ndarray  # (P, K, 2)
+    e_ur: jnp.ndarray  # (P, K) right-u or -1
+    e_inv_sigma2: jnp.ndarray  # (P, K)
+    e_mask: jnp.ndarray  # (P, K) bool
+
+
+def _dense_residuals(cam_Tcw, pt_pos, prob: DenseBAProblem, oh, fx, fy, cx, cy, bf):
+    """Residuals (P,K,3), Jacobians (P,K,3,6)/(P,K,3,3), depth (P,K).
+    Camera poses enter through the one-hot contraction (C is tiny, the
+    einsum is an MXU matmul — no gather)."""
+    T = jnp.einsum("pkc,cij->pkij", oh, cam_Tcw)  # (P, K, 4, 4)
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    pc = jnp.einsum("pkij,pj->pki", R, pt_pos) + t
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+    u_pred = fx * x * iz + cx
+    v_pred = fy * y * iz + cy
+    ur_pred = u_pred - bf * iz
+    r = jnp.stack(
+        [u_pred - prob.e_uv[..., 0], v_pred - prob.e_uv[..., 1], ur_pred - prob.e_ur],
+        axis=-1,
+    )  # (P, K, 3)
+    zero = jnp.zeros_like(x)
+    du = jnp.stack([fx * iz, zero, -fx * x * iz2], axis=-1)
+    dv = jnp.stack([zero, fy * iz, -fy * y * iz2], axis=-1)
+    dur = du + jnp.stack([zero, zero, bf * iz2], axis=-1)
+    J_proj = jnp.stack([du, dv, dur], axis=-2)  # (P, K, 3, 3)
+    hat_pc = jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )  # (P, K, 3, 3)
+    I3 = jnp.broadcast_to(jnp.eye(3), hat_pc.shape)
+    J_cam = J_proj @ jnp.concatenate([I3, -hat_pc], axis=-1)  # (P, K, 3, 6)
+    J_pt = J_proj @ R  # (P, K, 3, 3)
+    return r, J_cam, J_pt, z
+
+
+def _dense_chi2(r, inv_sigma2, is_stereo):
+    e2 = r[..., 0] ** 2 + r[..., 1] ** 2 + jnp.where(is_stereo, r[..., 2] ** 2, 0.0)
+    return e2 * inv_sigma2
+
+
+@jax.jit
+def classify_outliers_dense(prob: DenseBAProblem, fx, fy, cx, cy, bf):
+    """chi2 + positive-depth gating per (P, K) entry (reference
+    src/Optimizer.cc:668-683,717-745). Returns updated e_mask."""
+    C = prob.cam_Tcw.shape[0]
+    oh = jax.nn.one_hot(jnp.maximum(prob.e_cam, 0), C, dtype=jnp.float32)
+    r, _, _, z = _dense_residuals(
+        prob.cam_Tcw, prob.pt_pos, prob, oh, fx, fy, cx, cy, bf
+    )
+    is_stereo = prob.e_ur >= 0
+    c2 = _dense_chi2(r, prob.e_inv_sigma2, is_stereo)
+    th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    return prob.e_mask & (c2 <= th) & (z > 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_iters", "use_huber", "return_lam", "return_carry", "n_free"),
+)
+def bundle_adjust_dense(
+    prob: DenseBAProblem,
+    fx,
+    fy,
+    cx,
+    cy,
+    bf,
+    n_iters: int = 10,
+    use_huber: bool = True,
+    lam0: float = 1e-4,
+    return_lam: bool = False,
+    n_free: int = None,
+    cost0=None,
+    cam_bak0=None,
+    pt_bak0=None,
+    return_carry: bool = False,
+):
+    """n_iters LM steps on the dense (P, K) problem; dense Cholesky on the
+    (6C, 6C) Schur-reduced camera system (local windows keep C small).
+
+    n_free: cameras [0, n_free) are the potentially-free block and
+    [n_free, C) are ALWAYS fixed (extract_local_ba_dense lays the window
+    out this way). Fixed cameras never enter the Schur system — their
+    observations only constrain the landmarks — so every camera-axis
+    reduction and the Cholesky run at n_free, not C (4x less solve work
+    for the standard 16/16 window)."""
+    C = prob.cam_Tcw.shape[0]
+    if n_free is None:
+        n_free = C
+    Cf = n_free
+    P, K = prob.e_mask.shape
+    D = Cf * 6
+    is_stereo = prob.e_ur >= 0
+    delta = jnp.sqrt(jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO))
+    free_cam = (~prob.cam_fixed[:Cf]).astype(jnp.float32)  # (Cf,)
+    free_pt = prob.pt_valid.astype(jnp.float32)[:, None]
+    oh = jax.nn.one_hot(jnp.maximum(prob.e_cam, 0), C, dtype=jnp.float32)
+    oh = oh * prob.e_mask[..., None]  # dead entries contribute nothing
+    # Camera-reduction one-hot: free block only.
+    ohf = oh[..., :Cf] * (~prob.cam_fixed)[:Cf][None, None, :].astype(jnp.float32)
+
+    def lm_step(_, carry):
+        # Damping-feedback LM with ONE residual pass per iteration: the
+        # cost at the current parameters comes from the same residuals that
+        # build the normal equations, and lambda adapts from the PREVIOUS
+        # iteration's cost instead of a separate post-step evaluation
+        # (nonmonotonic accept; a worse step inflates lambda, and the guard
+        # below rolls the parameters back). Per-kernel dispatch overhead
+        # (~0.1-0.2 ms on the target chip) dominates this loop, so the
+        # block builds are fused: one stacked (9x9) Gram per entry and one
+        # one-hot contraction for ALL camera-axis reductions.
+        cam_Tcw, pt_pos, cam_bak, pt_bak, cost_prev, lam = carry
+        r, J_cam, J_pt, z = _dense_residuals(
+            cam_Tcw, pt_pos, prob, oh, fx, fy, cx, cy, bf
+        )
+        c2 = _dense_chi2(r, prob.e_inv_sigma2, is_stereo)
+        e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+        rho = jnp.where(use_huber & (e > delta), 2.0 * delta * e - delta * delta, c2)
+        cost_now = jnp.sum(rho * prob.e_mask * (z > 0))
+        improved = cost_now <= cost_prev
+        # Roll back a worsening step: resume from the best-seen parameters.
+        # The rollback reuses the (stale) linearization of the rejected
+        # point for one step — the inflated lambda shrinks that step toward
+        # gradient descent, the same recovery g2o's retry loop achieves
+        # with a second linearization at double the residual passes.
+        cam_Tcw = jnp.where(improved, cam_Tcw, cam_bak)
+        pt_pos = jnp.where(improved, pt_pos, pt_bak)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        cost_best = jnp.minimum(cost_now, cost_prev)
+
+        w_huber = jnp.where(use_huber & (e > delta), delta / e, 1.0)
+        w = prob.e_inv_sigma2 * w_huber * prob.e_mask * (z > 0)  # (P, K)
+        row_w = jnp.stack([w, w, w * is_stereo], axis=-1)  # (P, K, 3)
+        Jc_w = J_cam * row_w[..., None]
+        Jp_w = J_pt * row_w[..., None]
+        # Separate Gram einsums (NOT one stacked (9,9) Gram + slices: TPU
+        # pads trailing block dims to the (8,128) tile, so every slice or
+        # concatenate of such tensors materializes a ~20x-padded copy —
+        # profiled as the dominant per-step cost).
+        V = jnp.einsum("pkij,pkil->pjl", Jp_w, J_pt)  # (P, 3, 3)
+        b_p = -jnp.einsum("pkij,pki->pj", Jp_w, r)  # (P, 3)
+        W_e = jnp.einsum("pkij,pkil->pkjl", Jc_w, J_pt)  # (P, K, 6, 3)
+        U_e = jnp.einsum("pkij,pkil->pkjl", Jc_w, J_cam)  # (P, K, 6, 6)
+        U = jnp.einsum("pkc,pkjl->cjl", ohf, U_e)  # (Cf, 6, 6)
+        b_c = -jnp.einsum("pkc,pkij,pki->cj", ohf, Jc_w, r)  # (Cf, 6)
+
+        U_d = U + lam * jax.vmap(jnp.diag)(jnp.diagonal(U, axis1=1, axis2=2))
+        V_d = V + lam * jax.vmap(jnp.diag)(jnp.diagonal(V, axis1=1, axis2=2))
+        V_inv = _inv3x3(V_d)
+
+        # Schur RHS: b~ = b_c - W V^-1 b_p
+        Vb = jnp.einsum("pij,pj->pi", V_inv, b_p)  # (P, 3)
+        w6 = jnp.einsum("pkjl,pl->pkj", W_e, Vb)  # (P, K, 6)
+        b_red = b_c - jnp.einsum("pkc,pkj->cj", ohf, w6)
+
+        # Schur complement, materialized analytically via two one-hot
+        # contractions + one MXU einsum.
+        G_e = jnp.einsum("pkjl,plm->pkjm", W_e, V_inv)  # (P, K, 6, 3)
+        BC = jnp.einsum("pkc,pkjm->pcjm", ohf, G_e)  # (P, Cf, 6, 3)
+        BW = jnp.einsum("pkc,pkjm->pcjm", ohf, W_e)  # (P, Cf, 6, 3)
+        with jax.default_matmul_precision("highest"):
+            S = -jnp.einsum("pcjm,pdlm->cjdl", BC, BW)
+            S = S + jnp.einsum("cjl,cd->cjdl", U_d, jnp.eye(Cf))
+            S = S.reshape(D, D)
+            # Pin singular rows: fixed cameras and free cameras with no
+            # observations in the window.
+            live = jnp.repeat(free_cam, 6) * (jnp.diagonal(S) > 1e-10)
+            S = S * (live[:, None] * live[None, :]) + jnp.diag(1.0 - live)
+            rhs = b_red.reshape(D) * jnp.repeat(free_cam, 6) * live
+            dx_c = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(S), rhs
+            ).reshape(Cf, 6)
+        dx_c = dx_c * free_cam[:, None]
+        dx_c = jnp.where(jnp.isfinite(dx_c), dx_c, 0.0)
+
+        # Back-substitute landmarks: dy = V^-1 (b_p - W^T dx)
+        dx_e = jnp.einsum("pkc,cj->pkj", ohf, dx_c)  # (P, K, 6)
+        Wt_dx = jnp.einsum("pkjl,pkj->pl", W_e, dx_e)  # (P, 3)
+        dy = jnp.einsum("pij,pj->pi", V_inv, b_p - Wt_dx) * free_pt
+        dy = jnp.where(jnp.isfinite(dy), dy, 0.0)
+
+        cam_upd = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, cam_Tcw[:Cf])
+        cam_upd = jnp.where(prob.cam_fixed[:Cf, None, None], cam_Tcw[:Cf], cam_upd)
+        cam_new = cam_Tcw.at[:Cf].set(cam_upd)
+        pt_new = pt_pos + dy
+        return (cam_new, pt_new, cam_Tcw, pt_pos, cost_best, lam)
+
+    big = jnp.float32(3.4e38)
+    carry = (
+        prob.cam_Tcw,
+        prob.pt_pos,
+        prob.cam_Tcw if cam_bak0 is None else cam_bak0,
+        prob.pt_pos if pt_bak0 is None else pt_bak0,
+        big if cost0 is None else cost0,
+        jnp.asarray(lam0, jnp.float32),
+    )
+    # UNROLLED (n_iters is static; host-side chunking via lm_step_dense is
+    # the production path — see its docstring for why).
+    for i in range(n_iters + 1):
+        carry = lm_step(i, carry)
+    cam_Tcw, pt_pos, cam_bak, pt_bak, cost_best, lam = carry
+    if return_carry:
+        return (
+            prob._replace(cam_Tcw=cam_Tcw, pt_pos=pt_pos),
+            cam_bak, pt_bak, cost_best, lam,
+        )
+    # The final carry's (cam_Tcw, pt_pos) is an unevaluated trial step; the
+    # backup slot holds the last evaluated-and-accepted parameters.
+    out = prob._replace(cam_Tcw=cam_bak, pt_pos=pt_bak)
+    if return_lam:
+        return out, lam
+    return out
+
+
+@partial(jax.jit, static_argnames=("use_huber", "n_free"))
+def lm_step_dense(prob: DenseBAProblem, cam_bak, pt_bak, cost_prev, lam,
+                  fx, fy, cx, cy, bf, use_huber: bool = True,
+                  n_free: int = None):
+    """ONE LM step as its own dispatch. The host loops over this instead of
+    compiling an unrolled multi-step program: on the target chip the SAME
+    step costs ~0.9 ms as a small program but ~4.5 ms inside a long fused
+    one (layout/scheduling pessimization grows with program size), while an
+    async dispatch costs the host ~0.15 ms — so chunking at one step per
+    dispatch is ~2.5x faster wall-clock and never blocks on the tunnel.
+
+    Returns (prob', cam_bak', pt_bak', cost_best, lam')."""
+    out = bundle_adjust_dense.__wrapped__(
+        prob, fx, fy, cx, cy, bf, n_iters=0, use_huber=use_huber,
+        lam0=lam, cost0=cost_prev, cam_bak0=cam_bak, pt_bak0=pt_bak,
+        return_carry=True, n_free=n_free,
+    )
+    return out
+
+
+def local_ba_dense(prob: DenseBAProblem, fx, fy, cx, cy, bf,
+                   iters1: int = 5, iters2: int = 10, n_free: int = None):
+    """Reference LocalBundleAdjustment schedule on the dense problem
+    (src/Optimizer.cc:577-715): iters1 robust steps, outlier demotion,
+    iters2 more, final classification — each LM step its own dispatch (see
+    lm_step_dense). Returns (problem, final e_mask)."""
+    big = jnp.float32(3.4e38)
+
+    def run(prob, n):
+        cam_bak, pt_bak = prob.cam_Tcw, prob.pt_pos
+        cost, lam = big, jnp.float32(1e-4)
+        for _ in range(n + 1):
+            prob, cam_bak, pt_bak, cost, lam = lm_step_dense(
+                prob, cam_bak, pt_bak, cost, lam, fx, fy, cx, cy, bf,
+                n_free=n_free,
+            )
+        # final carry's (cam, pt) is an unevaluated trial; bak holds the
+        # last evaluated-and-accepted parameters
+        return prob._replace(cam_Tcw=cam_bak, pt_pos=pt_bak)
+
+    prob = run(prob, iters1)
+    mask = classify_outliers_dense(prob, fx, fy, cx, cy, bf)
+    prob = prob._replace(e_mask=mask)
+    prob = run(prob, iters2)
+    final_mask = classify_outliers_dense(prob, fx, fy, cx, cy, bf)
+    return prob, final_mask

@@ -3,15 +3,16 @@
 The reference vendors DBoW2 (Thirdparty/DBoW2): a hierarchical k-means tree
 (ORBvoc: k=10, L=6, ~1M words) built offline from ORB descriptors, used for
 (a) TF-IDF L1 relocalization/loop scoring via an inverted file and (b) a
-"direct index" that buckets keypoints by tree node to prune matching.
+"direct index" that buckets keypoints by tree node to prune matching (the
+latter deliberately has no equivalent here — see ops/matching.search_brute:
+candidate COMPACTION plays that role on TPU).
 
 TPU-native redesign:
 
 - A `Vocabulary` maps packed descriptors -> word ids with pure array ops.
   Two implementations:
-    * `LshVocabulary` (default): word id = a fixed random subset of
-      descriptor bits (2^bits words). Zero training, one gather + popcount-
-      free bit math, and a coarser prefix serves as the direct-index node id.
+    * `LshVocabulary` (fallback): word id = a fixed random subset of
+      descriptor bits (2^bits words); zero training, one gather + bit math.
     * `TreeVocabulary`: a k-ary tree of binary centers descended by Hamming
       argmin — the DBoW2 structure. Can be trained on-TPU with batched
       k-medians (`train_tree_vocabulary`) from any descriptor corpus, or
@@ -39,12 +40,10 @@ import numpy as np
 class LshVocabulary:
     """Word id = concatenation of `n_bits` fixed random descriptor bits."""
 
-    def __init__(self, n_bits: int = 16, node_bits: int = 8, seed: int = 123):
-        assert n_bits <= 24 and node_bits <= n_bits
+    def __init__(self, n_bits: int = 16, seed: int = 123):
+        assert n_bits <= 24
         self.n_bits = n_bits
-        self.node_bits = node_bits
         self.n_words = 1 << n_bits
-        self.n_nodes = 1 << node_bits
         rng = np.random.default_rng(seed)
         bit_idx = rng.choice(256, size=n_bits, replace=False)
         self.word_word = jnp.asarray(bit_idx // 32, jnp.int32)  # u32 word index
@@ -57,11 +56,6 @@ class LshVocabulary:
         weights = (jnp.uint32(1) << jnp.arange(self.n_bits, dtype=jnp.uint32))[None, :]
         return jnp.sum(bits * weights, axis=1).astype(jnp.int32)
 
-    def nodes(self, words: jnp.ndarray) -> jnp.ndarray:
-        """Direct-index node id (coarse prefix of the word id): plays the
-        role of DBoW2's level-(L-levelsup) node (reference Frame::ComputeBoW
-        levelsup=4, src/Frame.cc:425)."""
-        return words >> (self.n_bits - self.node_bits)
 
 
 class TreeVocabulary:
@@ -94,100 +88,105 @@ class TreeVocabulary:
             node = jnp.where(nxt >= 0, nxt, node)  # stay if leaf
         return jnp.take(self.leaf_word, node)
 
-    def nodes(self, words: jnp.ndarray) -> jnp.ndarray:
-        # Coarse bucket: top-level branch of the word id.
-        per = max(self.n_words // (self.k ** 2), 1)
-        return words // per
 
 
 def train_tree_vocabulary(desc_corpus: np.ndarray, k: int = 8, depth: int = 3,
                           iters: int = 8, seed: int = 0) -> TreeVocabulary:
     """On-device hierarchical k-medians over packed binary descriptors.
 
-    Replaces DBoW2's offline k-means training: distances are Hamming
-    (XOR+popcount), centers are bitwise majorities of their cluster — the
-    binary-descriptor analog of the mean. Runs level by level; each level is
-    a batched assignment (matmul-like distance matrix) + majority update.
+    Replaces DBoW2's offline k-means training (the k=10/L=6 ORBvoc tree,
+    reference Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1338): distances
+    are Hamming (XOR+popcount), centers are bitwise majorities of their
+    cluster — the binary-descriptor analog of the mean.
+
+    LEVEL-BATCHED: every node of a level trains simultaneously as one
+    segmented k-medians over the whole corpus — each iteration is a single
+    (N, k) distance + segmented bit-majority, so a k=10/L=4 (10k-word) tree
+    is `depth * iters` device steps instead of one k-medians per node
+    (1111 sequential solves).
     """
     rng = np.random.default_rng(seed)
-    desc = jnp.asarray(desc_corpus)
+    desc = jnp.asarray(desc_corpus, jnp.uint32)
     N = desc.shape[0]
+    bits = jnp.unpackbits(
+        jax.lax.bitcast_convert_type(desc, jnp.uint8).reshape(N, 32), axis=1
+    ).astype(jnp.float32)  # (N, 256)
 
-    def kmedians(sub_desc, kk, key):
-        n = sub_desc.shape[0]
-        if n == 0:
-            return np.zeros((kk, 8), np.uint32)
-        init = rng.choice(n, size=min(kk, n), replace=False)
-        centers = np.asarray(sub_desc)[init]
-        if len(init) < kk:
-            centers = np.concatenate([centers, centers[: kk - len(init)]])
-        centers = jnp.asarray(centers)
+    @functools.partial(jax.jit, static_argnames=("n_groups",))
+    def kmedians_level(group, centers, n_groups):
+        """One k-medians iteration for all groups at once.
 
-        from my_orb_slam2_tpu.ops.frontend import hamming_distance
+        group: (N,) i32 group id of each descriptor (node at this level).
+        centers: (n_groups, k, 8) u32.
+        Returns (assign (N,) subcluster id, new centers)."""
+        cent_g = centers[group]  # (N, k, 8)
+        x = jnp.bitwise_xor(desc[:, None, :], cent_g)
+        d = jnp.sum(jax.lax.population_count(x), axis=-1)  # (N, k)
+        assign = jnp.argmin(d, axis=1).astype(jnp.int32)
+        flat = group * k + assign  # (N,) in [0, n_groups*k)
+        sums = jnp.zeros((n_groups * k, 256), jnp.float32).at[flat].add(bits)
+        cnt = jnp.zeros((n_groups * k,), jnp.float32).at[flat].add(1.0)
+        maj = (sums * 2 > cnt[:, None]).astype(jnp.uint8)
+        packed = jnp.packbits(maj, axis=1)  # (n_groups*k, 32) u8
+        new_centers = jax.lax.bitcast_convert_type(
+            packed.reshape(n_groups * k, 8, 4), jnp.uint32
+        ).reshape(n_groups, k, 8)
+        # Keep the old center when a subcluster is empty (avoids collapse).
+        empty = (cnt.reshape(n_groups, k) == 0)
+        new_centers = jnp.where(empty[:, :, None], centers, new_centers)
+        return assign, new_centers
 
-        for _ in range(iters):
-            d = hamming_distance(sub_desc, centers)
-            assign = jnp.argmin(d, axis=1)  # (n,)
-            # majority vote per bit per cluster
-            bits = jnp.unpackbits(
-                jax.lax.bitcast_convert_type(sub_desc, jnp.uint8).reshape(n, 32),
-                axis=1,
-            )  # (n, 256)
-            onehot = jax.nn.one_hot(assign, kk, dtype=jnp.float32)  # (n, kk)
-            sums = onehot.T @ bits.astype(jnp.float32)  # (kk, 256)
-            counts = jnp.sum(onehot, axis=0)[:, None]
-            maj = (sums * 2 > counts).astype(jnp.uint8)
-            packed = jnp.packbits(maj, axis=1)  # (kk, 32) u8
-            centers = jax.lax.bitcast_convert_type(
-                packed.reshape(kk, 8, 4), jnp.uint32
-            ).reshape(kk, 8)
-        return np.asarray(centers)
-
-    # Build level by level on the host (tree structure), batched on device.
-    nodes_centers = [np.zeros((1, 8), np.uint32)]  # root placeholder
-    children = [[]]
-    assignments = {0: np.arange(N)}
-    node_depth = {0: 0}
-    leaf_ids = {}
-    next_id = 1
-    frontier = [0]
+    group = np.zeros(N, np.int32)  # node id of each descriptor at this level
+    level_centers = []  # list of (n_groups, k, 8) per level
+    assign = None
+    n_groups = 1
     for level in range(depth):
-        new_frontier = []
-        for nid in frontier:
-            idx = assignments[nid]
-            if len(idx) == 0:
-                continue
-            cent = kmedians(desc[idx], k, None)
-            from my_orb_slam2_tpu.ops.frontend import hamming_distance
+        # init: random descriptors from each group (host-side, cheap)
+        init = np.zeros((n_groups, k, 8), np.uint32)
+        desc_np = np.asarray(desc)
+        order = np.argsort(group, kind="stable")
+        bounds = np.searchsorted(group[order], np.arange(n_groups + 1))
+        for g in range(n_groups):
+            members = order[bounds[g]:bounds[g + 1]]
+            if len(members) == 0:
+                init[g] = rng.integers(0, 2 ** 32, (k, 8), dtype=np.uint32)
+            else:
+                pick = rng.choice(members, size=k, replace=len(members) < k)
+                init[g] = desc_np[pick]
+        centers = jnp.asarray(init)
+        for _ in range(iters):
+            assign, centers = kmedians_level(
+                jnp.asarray(group), centers, n_groups
+            )
+        assign = np.asarray(assign)
+        level_centers.append(np.asarray(centers))
+        group = group * k + assign
+        n_groups *= k
 
-            d = np.asarray(hamming_distance(desc[idx], jnp.asarray(cent)))
-            assign = d.argmin(axis=1)
-            ch_ids = []
-            for c in range(k):
-                cid = next_id
-                next_id += 1
-                nodes_centers.append(cent[c : c + 1])
-                children.append([])
-                assignments[cid] = idx[assign == c]
-                node_depth[cid] = level + 1
-                ch_ids.append(cid)
-                new_frontier.append(cid)
-            children[nid] = ch_ids
-        frontier = new_frontier
-    n_nodes = next_id
-    centers = np.concatenate(nodes_centers, axis=0).astype(np.uint32)
+    # Pack into the (BFS-ordered) node arrays.
+    n_nodes = sum(k ** (l + 1) for l in range(depth)) + 1
+    centers_arr = np.zeros((n_nodes, 8), np.uint32)
     child_arr = np.full((n_nodes, k), -1, np.int32)
-    for nid, ch in enumerate(children):
-        for j, c in enumerate(ch):
-            child_arr[nid, j] = c
-    leaf_word = np.full((n_nodes,), -1, np.int32)
-    w = 0
-    for nid in range(n_nodes):
-        if child_arr[nid].max() < 0:
-            leaf_word[nid] = w
-            w += 1
-    leaf_word[leaf_word < 0] = 0
-    return TreeVocabulary(centers, child_arr, leaf_word, k, depth)
+    level_base = [0]  # node id of the first node at each level (root = 0)
+    base = 1
+    for level in range(depth):
+        level_base.append(base)
+        base += k ** (level + 1)
+    for level in range(depth):
+        lb = level_base[level + 1]
+        cl = level_centers[level].reshape(-1, 8)  # (k^(level+1), 8)
+        centers_arr[lb:lb + cl.shape[0]] = cl
+        # children of each node at `level` are its k subclusters
+        pb = level_base[level]
+        n_parents = k ** level
+        for p in range(n_parents):
+            pid = pb + p
+            for c in range(k):
+                child_arr[pid, c] = lb + p * k + c
+    leaf_word = np.full((n_nodes,), 0, np.int32)
+    lb = level_base[depth]
+    leaf_word[lb:] = np.arange(n_nodes - lb)
+    return TreeVocabulary(centers_arr, child_arr, leaf_word, k, depth)
 
 
 # ---------------------------------------------------------------------------

@@ -166,26 +166,26 @@ def search_brute(
     valid2,
     angle1=None,
     angle2=None,
-    node1=None,
-    node2=None,
     max_dist: float = TH_LOW,
     ratio: float = 0.7,
     check_rotation: bool = True,
 ):
     """Descriptor-only matching between two feature sets.
 
-    Plays the role of reference SearchByBoW (src/ORBmatcher.cc:182,563):
-    the reference restricts candidate pairs to shared vocabulary nodes as a
-    CPU pruning trick; on TPU the full Hamming matrix is cheap, so node ids
-    (if provided) act as an optional mask reproducing the same candidate
-    semantics.
+    Plays the role of reference SearchByBoW (src/ORBmatcher.cc:182,563).
+    The reference restricts candidate pairs to shared vocabulary nodes (the
+    DBoW2 "direct index", FeatureVector at levelsup=4) — a CPU pruning
+    trick that skips Hamming evaluations. On TPU the full distance matrix
+    is ONE MXU matmul whose cost a sparsity mask cannot reduce (the matmul
+    runs either way), so the engine deliberately has no direct index:
+    where candidate-set size matters (triangulation, fuse, local-map
+    search) the candidate axis is COMPACTED instead (nonzero + static
+    bound), which shrinks the matmul itself.
 
     Returns (idx (N1,), ok (N1,), dist (N1,)).
     """
     dist = hamming_distance(desc1, desc2).astype(jnp.float32)
     mask = valid1[:, None] & valid2[None, :]
-    if node1 is not None and node2 is not None:
-        mask = mask & (node1[:, None] == node2[None, :])
     idx, best, second = masked_best2(dist, mask)
     ok = (best <= max_dist) & ratio_test(best, second, ratio) & valid1
     if check_rotation and angle1 is not None and angle2 is not None:

@@ -107,12 +107,28 @@ def pose_optimization(
         use_huber = round_i < (n_rounds - 1)  # final round: plain LSQ
 
         def lm_iter(inner):
-            Tcw, lam, it, last_dx = inner
+            # Damping-feedback LM with ONE residual pass per iteration: the
+            # cost at the trial pose comes from the pass that also builds
+            # the normal equations, lambda adapts against the previous
+            # iteration's cost, and a worsening trial rolls back to the
+            # backup pose (reusing the stale linearization for one damped
+            # step — see ops/ba.py lm_step for the same scheme).
+            Tcw, Tcw_bak, cost_prev, lam, it, last_dx = inner
             r, J, z = _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf)
             c2 = _chi2(r, inv_sigma2, is_stereo)
+            e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+            rho = jnp.where(
+                use_huber & (e > delta_huber),
+                2.0 * delta_huber * e - delta_huber * delta_huber,
+                c2,
+            )
+            cost_now = jnp.sum(rho * mask * inlier * (z > 0))
+            improved = cost_now <= cost_prev
+            Tcw = jnp.where(improved, Tcw, Tcw_bak)
+            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+            cost_best = jnp.minimum(cost_now, cost_prev)
             # Huber IRLS weight on the residual norm (rho'(s) implemented as
             # w = delta/|e| beyond the kink).
-            e = jnp.sqrt(jnp.maximum(c2, 1e-12))
             w_huber = jnp.where(use_huber & (e > delta_huber), delta_huber / e, 1.0)
             w = inv_sigma2 * w_huber * mask * inlier * (z > 0)
             # Zero the stereo row for mono observations.
@@ -123,34 +139,20 @@ def pose_optimization(
             H_lm = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6)
             dx = jnp.linalg.solve(H_lm, b)
             T_new = lie.se3_exp(dx) @ Tcw
-            # Accept if total robust cost decreased.
-            r2, _, z2 = _residuals_and_jac(T_new, pts_w, uv, ur, fx, fy, cx, cy, bf)
-            c2_new = _chi2(r2, inv_sigma2, is_stereo)
-
-            def cost(c2v, zv):
-                s = jnp.sqrt(jnp.maximum(c2v, 1e-12))
-                rho = jnp.where(
-                    use_huber & (s > delta_huber),
-                    2.0 * delta_huber * s - delta_huber * delta_huber,
-                    c2v,
-                )
-                return jnp.sum(rho * mask * inlier * (zv > 0))
-
-            improved = cost(c2_new, z2) < cost(c2, z)
-            Tcw = jnp.where(improved, T_new, Tcw)
-            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
             dx_norm = jnp.where(improved, jnp.linalg.norm(dx), last_dx)
-            return (Tcw, lam, it + 1, dx_norm)
+            return (T_new, Tcw, cost_best, lam, it + 1, dx_norm)
 
         # Early exit when the accepted step stalls (saves the tail of the
         # serial LM iterations — pure latency on TPU; same fixed point as
         # the reference's full 10-iteration schedule).
         def lm_cond(inner):
-            _, _, it, last_dx = inner
+            _, _, _, _, it, last_dx = inner
             return (it < n_iters) & (last_dx > 1e-7)
 
-        Tcw, _, _, _ = jax.lax.while_loop(
-            lm_cond, lm_iter, (Tcw, jnp.float32(1e-4), jnp.int32(0), jnp.float32(1.0))
+        big = jnp.float32(3.4e38)
+        _trial, Tcw, _, _, _, _ = jax.lax.while_loop(
+            lm_cond, lm_iter,
+            (Tcw, Tcw, big, jnp.float32(1e-4), jnp.int32(0), jnp.float32(1.0)),
         )
         # Reclassify inliers for the next round (reference
         # src/Optimizer.cc:390-444: outliers by chi2, depth must be positive).

@@ -197,13 +197,7 @@ def render_map_3d(
 
 
 def save_png(path: str, img: np.ndarray):
-    """Write a PNG without heavyweight deps (cv2 if present, else PPM)."""
-    try:
-        import cv2
+    """Write a PNG with the in-house encoder (utils/png_io.py)."""
+    from my_orb_slam2_tpu.utils.png_io import write_png
 
-        cv2.imwrite(path, img[:, :, ::-1] if img.ndim == 3 else img)
-    except ImportError:
-        alt = path.rsplit(".", 1)[0] + ".ppm"
-        with open(alt, "wb") as f:
-            f.write(b"P6\n%d %d\n255\n" % (img.shape[1], img.shape[0]))
-            f.write(img.astype(np.uint8).tobytes())
+    write_png(path, np.asarray(img, np.uint8))

@@ -15,6 +15,8 @@ vocabulary to npz so subsequent startups skip the text parse entirely
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from my_orb_slam2_tpu.ops.bow import TreeVocabulary
@@ -70,3 +72,46 @@ def load_packed(path: str) -> TreeVocabulary:
     return TreeVocabulary(
         d["centers"], d["children"], d["leaf_word"], int(d["k"]), int(d["depth"])
     )
+
+
+def save_dbow2_text(voc: TreeVocabulary, path: str):
+    """Write a TreeVocabulary in the DBoW2 text format the reference ships
+    its ORBvoc.txt in (TemplatedVocabulary::saveToTextFile,
+    Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1426-1461): header
+    `k L scoring weighting`, then one line per non-root node in BFS order —
+    `parent_id is_leaf d0..d31 weight`. Round-trips through
+    `load_dbow2_text` (node file order == our BFS array order)."""
+    centers = np.asarray(voc.centers)
+    children = np.asarray(voc.children)
+    n_nodes = centers.shape[0]
+    parent = np.zeros(n_nodes, np.int32)
+    for nid in range(n_nodes):
+        for c in children[nid]:
+            if c >= 0:
+                parent[c] = nid
+    is_leaf = (children.max(axis=1) < 0).astype(int)
+    byte_view = centers.view("<u1").reshape(n_nodes, 32)
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.depth} 0 0\n")
+        for nid in range(1, n_nodes):
+            d = " ".join(str(int(b)) for b in byte_view[nid])
+            f.write(f"{parent[nid]} {is_leaf[nid]} {d} 1.0\n")
+
+
+_DEFAULT_ASSET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "orbvoc_k10_L4.npz",
+)
+
+
+def default_vocabulary():
+    """The engine's default place-recognition vocabulary: the packed k=10,
+    L=4 (10k-word) tree asset trained on rendered-world ORB descriptors
+    (tools/make_vocab.py) — the in-repo counterpart of the reference's
+    ORBvoc.txt (stripped from its mount; reference src/System.cc:64-72).
+    Falls back to the training-free LSH vocabulary if the asset is absent."""
+    if os.path.exists(_DEFAULT_ASSET):
+        return load_packed(_DEFAULT_ASSET)
+    from my_orb_slam2_tpu.ops.bow import LshVocabulary
+
+    return LshVocabulary(n_bits=16)

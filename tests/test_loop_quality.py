@@ -208,7 +208,7 @@ def test_loop_correction_reduces_drift():
         (gt[M - 1] @ np.linalg.inv(gt[0])).astype(np.float32)
     )
     state2 = correct_loop_state(
-        cfg, state, None, jnp.int32(M - 1), jnp.int32(0),
+        cfg, state, jnp.int32(M - 1), jnp.int32(0),
         S_cur_cand, loop_pt_mask, kp_loop_match,
     )
     ate_pg = _kf_ate(state2, gt, M)
@@ -259,7 +259,7 @@ def test_async_gba_with_midflight_keyframe():
     ate_before = _kf_ate(state, gt, M)
     S_cur_cand = jnp.asarray((gt[M - 1] @ np.linalg.inv(gt[0])).astype(np.float32))
     state = correct_loop_state(
-        cfg, state, None, jnp.int32(M - 1), jnp.int32(0),
+        cfg, state, jnp.int32(M - 1), jnp.int32(0),
         S_cur_cand, loop_pt_mask, kp_loop_match,
     )
     gba = AsyncGba(cfg, state, n_kf_start=M, n_iters=12)

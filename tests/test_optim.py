@@ -135,3 +135,87 @@ def test_local_ba_with_outliers(rng):
         d1 = np.asarray(lie.se3_log(jnp.asarray(np.asarray(out.cam_Tcw[c]) @ np.linalg.inv(cams_true[c]))))
         err1 += np.linalg.norm(d1)
     assert err1 / (cams_true.shape[0] - 2) < 0.01, err1
+
+
+def flat_to_dense(prob: ba.BAProblem, K: int = 8) -> ba.DenseBAProblem:
+    """Repack a flat observation list into the (P, K) dense layout."""
+    obs_cam = np.asarray(prob.obs_cam)
+    obs_pt = np.asarray(prob.obs_pt)
+    mask = np.asarray(prob.obs_mask)
+    P = prob.pt_pos.shape[0]
+    e_cam = np.full((P, K), -1, np.int32)
+    e_uv = np.zeros((P, K, 2), np.float32)
+    e_ur = np.full((P, K), -1.0, np.float32)
+    e_is2 = np.ones((P, K), np.float32)
+    e_mask = np.zeros((P, K), bool)
+    cnt = np.zeros(P, int)
+    uv = np.asarray(prob.obs_uv)
+    ur = np.asarray(prob.obs_ur)
+    is2 = np.asarray(prob.obs_inv_sigma2)
+    for o in range(len(obs_cam)):
+        if not mask[o]:
+            continue
+        p = obs_pt[o]
+        if cnt[p] >= K:
+            continue
+        k = cnt[p]
+        e_cam[p, k] = obs_cam[o]
+        e_uv[p, k] = uv[o]
+        e_ur[p, k] = ur[o]
+        e_is2[p, k] = is2[o]
+        e_mask[p, k] = True
+        cnt[p] += 1
+    return ba.DenseBAProblem(
+        cam_Tcw=prob.cam_Tcw,
+        cam_fixed=prob.cam_fixed,
+        pt_pos=prob.pt_pos,
+        pt_valid=prob.pt_valid,
+        e_cam=jnp.asarray(e_cam),
+        e_uv=jnp.asarray(e_uv),
+        e_ur=jnp.asarray(e_ur),
+        e_inv_sigma2=jnp.asarray(e_is2),
+        e_mask=jnp.asarray(e_mask),
+    )
+
+
+def test_dense_ba_matches_flat(rng):
+    """The dense (P, K) local BA must solve the same problem as the flat
+    observation-list engine to the same quality."""
+    prob, cams_true, pts_true = make_ba_problem(rng, noise=0.3)
+    dense = flat_to_dense(prob)
+    out_f = ba.bundle_adjust(prob, FX, FY, CX, CY, BF, n_iters=12, cg_iters=32)
+    out_d = ba.bundle_adjust_dense(dense, FX, FY, CX, CY, BF, n_iters=12)
+    for c in range(2, cams_true.shape[0]):
+        d_f = np.asarray(lie.se3_log(jnp.asarray(
+            np.asarray(out_f.cam_Tcw[c]) @ np.linalg.inv(cams_true[c]))))
+        d_d = np.asarray(lie.se3_log(jnp.asarray(
+            np.asarray(out_d.cam_Tcw[c]) @ np.linalg.inv(cams_true[c]))))
+        assert np.linalg.norm(d_d) < max(1.5 * np.linalg.norm(d_f), 5e-3), (
+            c, np.linalg.norm(d_f), np.linalg.norm(d_d))
+    p_err_f = np.linalg.norm(np.asarray(out_f.pt_pos) - pts_true, axis=1).mean()
+    p_err_d = np.linalg.norm(np.asarray(out_d.pt_pos) - pts_true, axis=1).mean()
+    assert p_err_d < max(1.5 * p_err_f, 1e-2), (p_err_f, p_err_d)
+
+
+def test_dense_local_ba_outlier_schedule(rng):
+    """local_ba_dense reproduces the 5+prune+10 schedule: corrupted
+    observations end up classified out and accuracy recovers."""
+    prob, cams_true, pts_true = make_ba_problem(rng, noise=0.3)
+    O = prob.obs_uv.shape[0]
+    n_bad = O // 10
+    bad = rng.choice(O, n_bad, replace=False)
+    uv = np.array(prob.obs_uv)
+    uv[bad] += rng.uniform(20, 60, size=(n_bad, 2))
+    prob = prob._replace(obs_uv=jnp.asarray(uv))
+    dense = flat_to_dense(prob)
+    out, final_mask = ba.local_ba_dense(dense, FX, FY, CX, CY, BF)
+    # recover which dense entries were corrupted
+    err1 = 0.0
+    for c in range(2, cams_true.shape[0]):
+        d1 = np.asarray(lie.se3_log(jnp.asarray(
+            np.asarray(out.cam_Tcw[c]) @ np.linalg.inv(cams_true[c]))))
+        err1 += np.linalg.norm(d1)
+    assert err1 / (cams_true.shape[0] - 2) < 0.01, err1
+    # the corrupted fraction of entries is mostly masked out
+    dropped = np.asarray(dense.e_mask).sum() - np.asarray(final_mask).sum()
+    assert dropped >= n_bad * 0.6, (dropped, n_bad)

@@ -103,23 +103,36 @@ def main():
     kf_id = jnp.int32(tracker.n_kf - 1)
 
     # BA micro-variants (non-donating jits)
-    prob, aux = lm.extract_local_ba(cfg, state, kf_id)
     cam = cfg.camera
+    prob, aux = lm.extract_local_ba_dense(cfg, state, kf_id)
     def t_extract():
-        p, a = lm.extract_local_ba(cfg, state, kf_id)
+        p, a = lm.extract_local_ba_dense(cfg, state, kf_id)
         p.cam_Tcw.block_until_ready()
-    print(f"extract_local_ba_ms   {timeit(t_extract):8.1f}", flush=True)
+    print(f"extract_dense_ms      {timeit(t_extract):8.1f}", flush=True)
     for n in (1, 5):
         def t_ba_n(n=n):
-            p2 = ba.bundle_adjust(
+            p2 = ba.bundle_adjust_dense(
                 prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, n_iters=n
             )
             p2.cam_Tcw.block_until_ready()
-        print(f"bundle_adjust_{n}_ms   {timeit(t_ba_n):8.1f}", flush=True)
+        print(f"ba_dense_{n}_ms        {timeit(t_ba_n):8.1f}", flush=True)
     def t_cls():
-        m2 = ba.classify_outliers(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+        m2 = ba.classify_outliers_dense(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
         m2.block_until_ready()
-    print(f"classify_ms           {timeit(t_cls):8.1f}", flush=True)
+    print(f"classify_dense_ms     {timeit(t_cls):8.1f}", flush=True)
+    # fuse + culling in isolation (on state copies; fuse donates)
+    def t_fuse():
+        s2, _t = lm.fuse_neighbors(
+            cfg, jax.tree.map(lambda x: x.copy(), state), kf_id,
+            refresh_derived=False,
+        )
+        s2.mp_valid.block_until_ready()
+    print(f"fuse_ms               {timeit(t_fuse):8.1f}", flush=True)
+    cull_j = jax.jit(lm.keyframe_culling.__wrapped__, static_argnames=("cfg",))
+    def t_cull():
+        s2, _ = cull_j(cfg, state, kf_id)
+        s2.mp_valid.block_until_ready()
+    print(f"cull_ms               {timeit(t_cull):8.1f}", flush=True)
 
     # derived refreshes in isolation
     ids21 = jnp.asarray(np.arange(21, dtype=np.int32))
