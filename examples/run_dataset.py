@@ -40,6 +40,15 @@ def main():
                     help="dump annotated frames + top-down map PNGs here "
                          "(the headless Viewer/FrameDrawer/MapDrawer analog)")
     ap.add_argument("--viz-every", type=int, default=10)
+    ap.add_argument("--live", default=None, metavar="DIR",
+                    help="LIVE viewer loop (reference Viewer::Run analog, "
+                         "src/Viewer.cc:68-166, GL-free): continuously "
+                         "overwrite DIR/live_frame.png + DIR/live_map.png "
+                         "(follow-camera 3D render centered on the current "
+                         "pose) every --viz-every frames, and poll "
+                         "DIR/control for commands — 'localization' / "
+                         "'slam' (the menuLocalizationMode toggle), "
+                         "'reset' (menuReset), 'follow' / 'free' camera")
     args = ap.parse_args()
 
     if args.kind == "tum-rgbd":
@@ -60,11 +69,19 @@ def main():
         ds = datasets.EurocStereoDataset(cam0, cam1, stamps)
 
     system = SlamSystem(cfg, pipeline_depth=args.pipeline)
+    live = None
+    if args.live:
+        from my_orb_slam2_tpu.utils.viz import LiveViewer
+
+        live = LiveViewer(args.live)
     times = []
     last_t = None
     for i, frame in enumerate(ds.frames()):
         if args.max_frames and i >= args.max_frames:
             break
+        if live is not None:
+            for cmd in live.poll_commands(system):
+                print(f"live viewer command: {cmd}", flush=True)
         t0 = time.perf_counter()
         if args.kind == "tum-rgbd":
             rgb, depth, ts = frame
@@ -84,6 +101,8 @@ def main():
             print(f"frame {i}: state={info['state']} "
                   f"inliers={info.get('localmap_inliers', '-')} {dt*1000:.0f}ms",
                   flush=True)
+        if live is not None and i % args.viz_every == 0:
+            live.update(system, frame[0], info, i)
         if args.viz and i % args.viz_every == 0:
             import os
 

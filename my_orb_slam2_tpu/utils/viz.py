@@ -201,3 +201,96 @@ def save_png(path: str, img: np.ndarray):
     from my_orb_slam2_tpu.utils.png_io import write_png
 
     write_png(path, np.asarray(img, np.uint8))
+
+
+class LiveViewer:
+    """GL-free LIVE viewer loop (reference Viewer::Run, src/Viewer.cc:68-166).
+
+    The reference spawns a Pangolin window with menu toggles (Follow
+    Camera / Localization Mode / Reset) and redraws the annotated frame +
+    3D map each iteration. Headless equivalent: atomically overwrite
+    `live_frame.png` / `live_map.png` in a directory (any image watcher
+    becomes the "window"), and poll a `control` file for the menu actions:
+
+        echo localization >> DIR/control   # menuLocalizationMode on
+        echo slam         >> DIR/control   # ... off
+        echo reset        >> DIR/control   # menuReset
+        echo follow       >> DIR/control   # follow-camera 3D view
+        echo free         >> DIR/control   # world-fixed 3D view
+    """
+
+    def __init__(self, out_dir: str):
+        import os
+
+        self.dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.control_path = os.path.join(out_dir, "control")
+        self.follow = True
+        self._consumed = 0
+
+    def poll_commands(self, system) -> list:
+        """Apply any new control-file commands (reference Viewer reads its
+        menu state every loop and drives Tracking, src/Viewer.cc:110-135).
+        Returns the commands applied."""
+        import os
+
+        if not os.path.exists(self.control_path):
+            return []
+        lines = open(self.control_path).read().split("\n")
+        new = [c.strip().lower() for c in lines[self._consumed:] if c.strip()]
+        self._consumed = len(lines) - (1 if lines and lines[-1] == "" else 0)
+        for cmd in new:
+            if cmd == "localization":
+                system.activate_localization_mode()
+            elif cmd == "slam":
+                system.deactivate_localization_mode()
+            elif cmd == "reset":
+                system.reset()
+            elif cmd == "follow":
+                self.follow = True
+            elif cmd == "free":
+                self.follow = False
+        return new
+
+    def update(self, system, gray_img, info, frame_idx: int):
+        """Redraw live_frame.png + live_map.png (atomic rename so watchers
+        never see a half-written file)."""
+        import os
+
+        tr = system.tracker
+        img = np.asarray(gray_img)
+        if img.ndim == 3:
+            img = img.mean(axis=-1).astype(np.uint8)
+        fr = tr.last_frame
+        if fr is not None:
+            cur = np.asarray(tr.last_mp)
+            mode = "LOCALIZATION" if tr.only_tracking else "SLAM"
+            canvas = draw_frame(
+                img, np.asarray(fr.uv), cur >= 0, np.asarray(fr.valid),
+                state_text=f"frame {frame_idx} state={info.get('state')} "
+                           f"{mode} inliers={info.get('localmap_inliers', '-')}",
+            )
+            tmp = os.path.join(self.dir, ".live_frame.tmp.png")
+            save_png(tmp, canvas)
+            os.replace(tmp, os.path.join(self.dir, "live_frame.png"))
+        m = tr.map
+        mp_pos = np.asarray(m.mp_pos)
+        kf_Tcw = np.asarray(m.kf_Tcw)
+        cur_Tcw = info.get("Tcw")
+        if self.follow and cur_Tcw is not None:
+            # Follow camera (reference s_cam.Follow(Twc), src/Viewer.cc:97-
+            # 125): recenter the world on the current camera position.
+            center = np.linalg.inv(cur_Tcw)[:3, 3]
+            mp_pos = mp_pos - center
+            kf_Tcw = kf_Tcw.copy()
+            kf_Tcw[:, :3, 3] = kf_Tcw[:, :3, 3] + kf_Tcw[:, :3, :3] @ center
+            cur_Tcw = cur_Tcw.copy()
+            cur_Tcw[:3, 3] = cur_Tcw[:3, 3] + cur_Tcw[:3, :3] @ center
+        three_d = render_map_3d(
+            mp_pos, np.asarray(m.mp_valid), kf_Tcw, np.asarray(m.kf_valid),
+            covis=np.asarray(m.covis), kf_parent=np.asarray(m.kf_parent),
+            loop_edges=np.asarray(m.loop_edges), cur_Tcw=cur_Tcw,
+        )
+        tmp = os.path.join(self.dir, ".live_map.tmp.png")
+        save_png(tmp, three_d)
+        os.replace(tmp, os.path.join(self.dir, "live_map.png"))

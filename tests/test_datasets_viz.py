@@ -241,3 +241,46 @@ def test_render_map_3d_graph_structure():
     assert (flat == np.array([90, 200, 90])).all(1).any(), "no covis edges"
     assert (flat == np.array([0, 120, 0])).all(1).any(), "no spanning tree"
     assert (flat == np.array([170, 170, 170])).all(1).any(), "no points"
+
+
+def test_live_viewer_loop(tmp_path):
+    """LiveViewer (reference Viewer::Run analog): continuously overwritten
+    renders + control-file menu commands (localization / reset / follow)."""
+    import numpy as np
+
+    from my_orb_slam2_tpu.models.system import SlamSystem
+    from my_orb_slam2_tpu.utils.config import (
+        CameraConfig, CapacityConfig, SlamConfig, Sensor, TrackingConfig,
+    )
+    from my_orb_slam2_tpu.utils.synthetic import SyntheticWorld
+    from my_orb_slam2_tpu.utils.viz import LiveViewer
+
+    cfg = SlamConfig(
+        sensor=Sensor.STEREO,
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0,
+                            th_depth=40.0),
+        capacity=CapacityConfig(max_keyframes=16, max_map_points=2048),
+        tracking=TrackingConfig(min_stereo_init_points=100),
+    )
+    world = SyntheticWorld(cfg, n_landmarks=3000, seed=3)
+    poses = world.circular_trajectory(3, forward_per_frame=0.2)
+    system = SlamSystem(cfg, use_images=False, capacity=256)
+    viewer = LiveViewer(str(tmp_path / "live"))
+    img = np.zeros((480, 640), np.uint8)
+    for i, Tcw in enumerate(poses):
+        frame, _ = world.observe(Tcw, 256, seed=40 + i, stereo_fraction=0.8)
+        info = system.track_frame_data(frame, i / 30.0)
+        viewer.update(system, img, info, i)
+    assert (tmp_path / "live" / "live_frame.png").exists()
+    assert (tmp_path / "live" / "live_map.png").exists()
+    # menu commands through the control file
+    ctrl = tmp_path / "live" / "control"
+    ctrl.write_text("localization\nfree\n")
+    cmds = viewer.poll_commands(system)
+    assert cmds == ["localization", "free"]
+    assert system.tracker.only_tracking is True
+    assert viewer.follow is False
+    ctrl.write_text("localization\nfree\nslam\nreset\n")
+    cmds = viewer.poll_commands(system)
+    assert cmds == ["slam", "reset"]
+    assert system.tracker.only_tracking is False
