@@ -707,6 +707,7 @@ class LoopCloser:
         # Device-resident consistency chains (lazily sized on first use).
         self._group_masks = None  # (C, KF) bool
         self._group_counts = None  # (C,) i32
+        self._pending_detect = None  # (kf_id, ids_dev, enough_dev)
         self._key = jax.random.PRNGKey(11)
         self.loops_closed = 0
         self.gbas_completed = 0
@@ -725,15 +726,28 @@ class LoopCloser:
         self.gbas_completed += 1
         return state, True
 
-    def process(self, state: ms.MapState, db: kdb.KfDatabase, kf_id: int):
+    def process(self, state: ms.MapState, db: kdb.KfDatabase, kf_id: int,
+                n_docs: int = None):
         """Run detection (+ correction if a loop is confirmed).
 
-        Returns (state, closed: bool).
+        Detection is PIPELINED one keyframe deep: this call dispatches the
+        candidate+consistency computation for kf_id and resolves the
+        PREVIOUS keyframe's readback (which had a whole inter-keyframe
+        interval to land via the async host copy) — a synchronous readback
+        here would drain the tracker's entire in-flight dispatch pipeline
+        every keyframe (measured 2x throughput loss at capacity). The
+        reference's loop thread lags its queue the same way
+        (src/LoopClosing.cc:57-91).
+
+        n_docs: host-mirrored database size (avoids reading db.n_docs back
+        from the device). Returns (state, closed: bool).
         """
         cfg = self.cfg
         if kf_id - self.last_loop_kf < cfg.loop.min_kfs_since_last_loop:
             return state, False
-        if int(db.n_docs) < cfg.loop.min_kfs_since_last_loop:
+        if n_docs is None:
+            n_docs = int(db.n_docs)  # non-pipelined callers only
+        if n_docs < cfg.loop.min_kfs_since_last_loop:
             return state, False
 
         # One dispatch: BoW scores vs all keyframes, min-score floor over the
@@ -754,17 +768,25 @@ class LoopCloser:
             state, ids_dev, self._group_masks, self._group_counts,
             cfg.loop.covisibility_consistency_th,
         )
+        self._group_masks, self._group_counts = masks, counts
+        for arr in (ids_dev, enough_dev):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+        pending, self._pending_detect = self._pending_detect, (
+            kf_id, ids_dev, enough_dev
+        )
+        if pending is None:
+            return state, False
+        det_kf, ids_dev, enough_dev = pending
         ids = np.asarray(ids_dev)
         if not (ids >= 0).any():
-            # No candidates at all: clear the consistency chains (reference
-            # mvConsistentGroups.clear() on the empty-candidate path).
-            self._group_masks = jnp.zeros_like(self._group_masks)
-            self._group_counts = jnp.zeros_like(self._group_counts)
             return state, False
-        self._group_masks, self._group_counts = masks, counts
         enough = [int(i) for i, e in zip(ids, np.asarray(enough_dev)) if e]
         if not enough:
             return state, False
+        kf_id = det_kf  # the loop closes at the DETECTED keyframe
 
         # Sim3 per consistent candidate.
         for cand in enough:
@@ -804,6 +826,7 @@ class LoopCloser:
             self.last_loop_kf = kf_id
             self._group_masks = jnp.zeros_like(self._group_masks)
             self._group_counts = jnp.zeros_like(self._group_counts)
+            self._pending_detect = None  # pre-closure detections are stale
             self.loops_closed += 1
             return state, True
         return state, False

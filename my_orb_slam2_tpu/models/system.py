@@ -45,6 +45,7 @@ class _MappingChain:
 
     def __init__(self, system: "SlamSystem"):
         self.sys = system
+        self.n_docs = 0  # host mirror of db.n_docs (no device readback)
 
     def process(
         self, state: ms.MapState, kf_id: int, queue_pressure: bool = False
@@ -61,8 +62,11 @@ class _MappingChain:
         sys.db = kdb.add_keyframe(
             sys.db, jnp.int32(kf_id), words, state.kf_kp_valid[kf_id]
         )
+        self.n_docs += 1
         if sys.enable_loop_closing and not sys.tracker.only_tracking:
-            state, closed = sys.loop_closer.process(state, sys.db, kf_id)
+            state, closed = sys.loop_closer.process(
+                state, sys.db, kf_id, n_docs=self.n_docs
+            )
             if closed:
                 sys.map_change_idx += 1
         return state

@@ -51,10 +51,7 @@ class LshVocabulary:
 
     def words(self, desc: jnp.ndarray) -> jnp.ndarray:
         """(N, 8) u32 packed descriptors -> (N,) int32 word ids."""
-        sel = desc[:, self.word_word]  # (N, n_bits)
-        bits = (sel >> self.word_bit[None, :]) & jnp.uint32(1)
-        weights = (jnp.uint32(1) << jnp.arange(self.n_bits, dtype=jnp.uint32))[None, :]
-        return jnp.sum(bits * weights, axis=1).astype(jnp.int32)
+        return _lsh_words(desc, self.word_word, self.word_bit, self.n_bits)
 
 
 
@@ -74,20 +71,36 @@ class TreeVocabulary:
         self.n_words = int(jnp.max(self.leaf_word)) + 1
 
     def words(self, desc: jnp.ndarray) -> jnp.ndarray:
-        from my_orb_slam2_tpu.ops.frontend import hamming_distance
+        return _tree_words(
+            desc, self.centers, self.children, self.leaf_word, self.depth
+        )
 
-        node = jnp.zeros((desc.shape[0],), jnp.int32)
-        for _ in range(self.depth):
-            ch = self.children[node]  # (N, k)
-            cent = self.centers[ch]  # (N, k, 8)
-            x = jnp.bitwise_xor(desc[:, None, :], cent)
-            d = jnp.sum(jax.lax.population_count(x), axis=-1)
-            d = jnp.where(ch >= 0, d, jnp.iinfo(jnp.int32).max)
-            best = jnp.argmin(d, axis=1)
-            nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
-            node = jnp.where(nxt >= 0, nxt, node)  # stay if leaf
-        return jnp.take(self.leaf_word, node)
 
+
+@functools.partial(jax.jit, static_argnames=("n_bits",))
+def _lsh_words(desc, word_word, word_bit, n_bits: int):
+    sel = desc[:, word_word]  # (N, n_bits)
+    bits = (sel >> word_bit[None, :]) & jnp.uint32(1)
+    weights = (jnp.uint32(1) << jnp.arange(n_bits, dtype=jnp.uint32))[None, :]
+    return jnp.sum(bits * weights, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _tree_words(desc, centers, children, leaf_word, depth: int):
+    """Batched tree descent, JITTED: the eager per-level gathers cost
+    ~190 ms per 2048-descriptor call through the tunnel; one dispatch
+    brings it to a few ms."""
+    node = jnp.zeros((desc.shape[0],), jnp.int32)
+    for _ in range(depth):
+        ch = children[node]  # (N, k)
+        cent = centers[ch]  # (N, k, 8)
+        x = jnp.bitwise_xor(desc[:, None, :], cent)
+        d = jnp.sum(jax.lax.population_count(x), axis=-1)
+        d = jnp.where(ch >= 0, d, jnp.iinfo(jnp.int32).max)
+        best = jnp.argmin(d, axis=1)
+        nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
+        node = jnp.where(nxt >= 0, nxt, node)  # stay if leaf
+    return jnp.take(leaf_word, node)
 
 
 def train_tree_vocabulary(desc_corpus: np.ndarray, k: int = 8, depth: int = 3,

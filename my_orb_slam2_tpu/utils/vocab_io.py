@@ -114,4 +114,6 @@ def default_vocabulary():
         return load_packed(_DEFAULT_ASSET)
     from my_orb_slam2_tpu.ops.bow import LshVocabulary
 
-    return LshVocabulary(n_bits=16)
+    # 14 bits = 16384 words: the dense (KF, n_words) u8 database stays
+    # ~25 MB at KITTI capacity (keyframe_db.py).
+    return LshVocabulary(n_bits=14)
