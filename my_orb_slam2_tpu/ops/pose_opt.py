@@ -142,18 +142,17 @@ def pose_optimization(
             dx_norm = jnp.where(improved, jnp.linalg.norm(dx), last_dx)
             return (T_new, Tcw, cost_best, lam, it + 1, dx_norm)
 
-        # Early exit when the accepted step stalls (saves the tail of the
-        # serial LM iterations — pure latency on TPU; same fixed point as
-        # the reference's full 10-iteration schedule).
-        def lm_cond(inner):
-            _, _, _, _, it, last_dx = inner
-            return (it < n_iters) & (last_dx > 1e-7)
-
+        # UNROLLED (n_iters static): a lax.while_loop iteration carries a
+        # fixed ~0.25 ms of loop overhead on the target chip — 10x the
+        # body's actual math at N=2048 — so the early-exit "optimization"
+        # cost more than the tail it saved. Straight-line iterations fuse
+        # into a handful of kernels.
         big = jnp.float32(3.4e38)
-        _trial, Tcw, _, _, _, _ = jax.lax.while_loop(
-            lm_cond, lm_iter,
-            (Tcw, Tcw, big, jnp.float32(1e-4), jnp.int32(0), jnp.float32(1.0)),
-        )
+        carry = (Tcw, Tcw, big, jnp.float32(1e-4), jnp.int32(0),
+                 jnp.float32(1.0))
+        for _ in range(n_iters):
+            carry = lm_iter(carry)
+        _trial, Tcw, _, _, _, _ = carry
         # Reclassify inliers for the next round (reference
         # src/Optimizer.cc:390-444: outliers by chi2, depth must be positive).
         r, _, z = _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf)
@@ -161,8 +160,13 @@ def pose_optimization(
         inlier = (c2 <= chi2_th) & (z > 0) & mask
         return (Tcw, inlier.astype(jnp.float32))
 
+    # Outer rounds unrolled too: `use_huber` becomes static per round, so
+    # the final round's plain-LSQ branch constant-folds instead of being
+    # selected per element.
     state = (Tcw0, mask.astype(jnp.float32))
-    Tcw, inlier = jax.lax.fori_loop(0, n_rounds, lm_round, state)
+    for round_i in range(n_rounds):
+        state = lm_round(round_i, state)
+    Tcw, inlier = state
     r, _, z = _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf)
     c2 = _chi2(r, inv_sigma2, is_stereo)
     inliers = (c2 <= chi2_th) & (z > 0) & mask

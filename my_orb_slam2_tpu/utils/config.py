@@ -143,11 +143,13 @@ class MappingConfig:
     # Local BA iteration schedule (src/Optimizer.cc:577,687: 5 then 10).
     # Reference schedule is 5 robust + 10 post-demotion LM iterations
     # (src/Optimizer.cc:577-715) with a fresh linearization per accept
-    # test; the dense engine's damping-feedback steps make each iteration
-    # cheaper but also stronger per wall-clock — 4+6 reaches the same
-    # window accuracy (gated by the local-mapping/loop ATE tests).
-    local_ba_iters1: int = 4
-    local_ba_iters2: int = 6
+    # test. The dense engine's damping-feedback steps converge the small
+    # local window faster; the capacity drive measured 3+4 as the knee
+    # (ATE 0.13 m / 120 m at 20 fps; 4+6 gives the same ATE slower; 2+3
+    # collapses to 3.2 m with keyframe spam). Gated by the drive's ATE
+    # floor and the local-mapping/loop tests.
+    local_ba_iters1: int = 3
+    local_ba_iters2: int = 4
     # Cap on the number of local-BA camera vertices (static shape bound).
     max_local_ba_cams: int = 64
     max_local_ba_points: int = 8192

@@ -10,11 +10,15 @@ Measured ladder (single chip, through the tunnel; 150 frames, full mapper
 with BA + culling, full pass every 4th keyframe):
 - round 1:  ~1.0-1.7 fps  ((KF x N) table scans per refresh)
 - round 2:  11 fps        (incremental inverted observation index)
-- round 3:  17-18 fps     (dense (P,K) local BA + one-LM-step-per-dispatch
+- round 3:  18.6-20 fps   (dense (P,K) local BA + one-LM-step-per-dispatch
                            chunking, batched fuse, compacted vmapped
-                           triangulation, one-pass pose-opt accept)
-Remaining cost: the fuse/cull/writeback stages of the full pass (see
-tools/profile_full_pass.py for the live stage budget).
+                           triangulation, one-pass LM accepts, 3+4 BA
+                           schedule); --system mode 16.4 fps
+Context: the reference's own KITTI tracking time is ~50 ms/frame (~20 fps)
+on an i7 (BASELINE.md Table VI) and KITTI input is 10 Hz — this drive is at
+reference parity and ~2x dataset-real-time. Remaining cost: the
+fuse/cull/writeback stages of the full pass (tools/profile_full_pass.py
+gives the live stage budget).
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/capacity_drive.py [--frames N]
 """
