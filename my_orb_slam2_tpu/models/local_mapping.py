@@ -602,17 +602,24 @@ def _fuse_epilogue(
     for _ in range(3):
         replace_map = jnp.take(replace_map, replace_map)
     replaced = replace_map != jnp.arange(MP)
-    state = state._replace(
-        mp_found=state.mp_found
-        + jnp.zeros((MP,), jnp.int32).at[jnp.where(replaced, replace_map, 0)].add(
-            jnp.where(replaced, state.mp_found, 0)
-        ),
-        mp_visible=state.mp_visible
-        + jnp.zeros((MP,), jnp.int32).at[jnp.where(replaced, replace_map, 0)].add(
-            jnp.where(replaced, state.mp_visible, 0)
-        ),
-    )
-    state = _apply_replacements(state, replace_map, replaced)
+
+    def do_replace(state):
+        st = state._replace(
+            mp_found=state.mp_found
+            + jnp.zeros((MP,), jnp.int32).at[
+                jnp.where(replaced, replace_map, 0)
+            ].add(jnp.where(replaced, state.mp_found, 0)),
+            mp_visible=state.mp_visible
+            + jnp.zeros((MP,), jnp.int32).at[
+                jnp.where(replaced, replace_map, 0)
+            ].add(jnp.where(replaced, state.mp_visible, 0)),
+        )
+        return _apply_replacements(st, replace_map, replaced)
+
+    # Most fuse passes produce ZERO replacements — skip the whole counter
+    # merge + sorted migration machinery (its sorts and (L, K) row surgery
+    # cost ~20 ms at capacity) on the device via cond.
+    state = jax.lax.cond(jnp.any(replaced), do_replace, lambda st: st, state)
     # Covisibility rows of the touched KFs (loop detection depends on
     # these). When local BA follows (refresh_derived=False), only the new
     # keyframe's row is refreshed here — the BA window selection needs it —

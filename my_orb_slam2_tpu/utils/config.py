@@ -232,7 +232,10 @@ def load_yaml_settings(path: str, sensor: Sensor) -> SlamConfig:
         p1=g("Camera.p1", 0.0),
         p2=g("Camera.p2", 0.0),
         k3=g("Camera.k3", 0.0),
-        bf=g("Camera.bf", 0.0),
+        # The reference's YAMLs carry Camera.bf even for monocular runs;
+        # mono must see bf = 0 (stereo-ness is bf > 0 throughout the
+        # engine — init branch, octave windows, VO anchors).
+        bf=0.0 if sensor == Sensor.MONOCULAR else g("Camera.bf", 0.0),
         fps=g("Camera.fps", 30.0),
         width=int(g("Camera.width", 640)),
         height=int(g("Camera.height", 480)),

@@ -148,16 +148,21 @@ class SyntheticWorld:
         return frame, lm
 
 
-def ate_rmse(est_poses: np.ndarray, gt_poses: np.ndarray, align: bool = True) -> float:
+def ate_rmse(est_poses: np.ndarray, gt_poses: np.ndarray, align: bool = True,
+             align_scale: bool = False) -> float:
     """Absolute trajectory error (RMSE of translation) after optional SE3
     alignment (Horn), the TUM evaluation metric used by the reference's
-    baselines (BASELINE.md)."""
+    baselines (BASELINE.md). align_scale=True additionally aligns the
+    similarity scale — the monocular evaluation convention (the reference's
+    mono baselines are scale-aligned, BASELINE.md)."""
     est_c = np.stack([-T[:3, :3].T @ T[:3, 3] for T in est_poses])
     gt_c = np.stack([-T[:3, :3].T @ T[:3, 3] for T in gt_poses])
     if align:
         from my_orb_slam2_tpu.ops.horn import horn_align
 
-        R, t, s = horn_align(jnp.asarray(gt_c), jnp.asarray(est_c), fix_scale=True)
-        est_c = est_c @ np.asarray(R).T + np.asarray(t)
+        R, t, s = horn_align(
+            jnp.asarray(gt_c), jnp.asarray(est_c), fix_scale=not align_scale
+        )
+        est_c = float(s) * (est_c @ np.asarray(R).T) + np.asarray(t)
     err = est_c - gt_c
     return float(np.sqrt((err ** 2).sum(axis=1).mean()))

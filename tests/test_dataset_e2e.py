@@ -112,3 +112,94 @@ def test_kitti_stereo_driver_e2e(tmp_path):
     assert len(est) == n, len(est)
     ate = ate_rmse(np.stack(est), np.stack(gt_poses[: len(est)]))
     assert ate < 1.5, ate
+
+
+@pytest.mark.slow
+def test_euroc_stereo_driver_e2e(tmp_path):
+    """The driver over a EuRoC-format tree (cam0/cam1 nanosecond-stamped
+    PNGs + timestamp list) through the native IO path; ATE gated."""
+    from tools.make_dataset import make_euroc
+    from my_orb_slam2_tpu.utils.synthetic import ate_rmse
+
+    seq = str(tmp_path / "euroc_seq")
+    n = 40
+    gt_poses, _ = make_euroc(seq, n_frames=n, H=240, W=320)
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               _SLAM_TESTS_REEXEC="1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "run_dataset.py"),
+         "euroc", os.path.join(seq, "cam0", "data"),
+         os.path.join(seq, "cam1", "data"),
+         os.path.join(seq, "timestamps.txt"),
+         os.path.join(seq, "settings.yaml"),
+         "--max-frames", str(n), "--pipeline", "3"],
+        cwd=str(tmp_path), env=env, timeout=1500,
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    # TUM-format trajectory: t tx ty tz qx qy qz qw (camera-to-world).
+    est = []
+    for line in open(tmp_path / "CameraTrajectory.txt"):
+        p = [float(x) for x in line.split()]
+        if len(p) == 8:
+            x, y, z, w = p[4:8]
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ])
+            Twc = np.eye(4)
+            Twc[:3, :3] = R
+            Twc[:3, 3] = p[1:4]
+            est.append(np.linalg.inv(Twc))
+    assert len(est) >= n - 2, len(est)
+    ate = ate_rmse(np.stack(est), np.stack(gt_poses[: len(est)]))
+    assert ate < 1.0, ate
+
+
+@pytest.mark.slow
+def test_tum_mono_on_disk_e2e(tmp_path):
+    """Monocular pipeline over the on-disk TUM tree: H/F initialization
+    from real rendered images, scale-aligned ATE (the mono evaluation
+    convention — mono trajectories are defined up to scale)."""
+    from tools.make_dataset import make_tum
+    from my_orb_slam2_tpu.models.system import SlamSystem
+    from my_orb_slam2_tpu.utils import datasets
+    from my_orb_slam2_tpu.utils.config import Sensor, load_yaml_settings
+    from my_orb_slam2_tpu.utils.synthetic import ate_rmse
+
+    seq = str(tmp_path / "tum_mono_seq")
+    n = 50
+    # lateral-rich motion (monocular H/F bootstrapping needs parallax) at
+    # full TUM resolution: mono init only uses level-0 keypoints and the
+    # 100-match gate (reference src/Tracking.cc:617-637) is unreachable on
+    # quarter-size renders.
+    # indoor-like near-field world: the reconstruct gates (90% of matches
+    # must triangulate with parallax, reference src/Initializer.cc:721)
+    # are unreachable when most landmarks are far
+    gt_poses, _ = make_tum(seq, n_frames=n, H=480, W=640, lateral=0.12,
+                           extent=(5.0, 3.5, 10.0), z_near=1.5)
+    cfg = load_yaml_settings(os.path.join(seq, "settings.yaml"),
+                             Sensor.MONOCULAR)
+    ds = datasets.TumMonoDataset(seq)
+    system = SlamSystem(cfg)
+    states = []
+    for i, (img, ts) in enumerate(ds.frames()):
+        if i >= n:
+            break
+        info = system.track_mono(img, ts)
+        states.append(info["state"])
+    system.shutdown()
+    assert 1 in states, "monocular pipeline never initialized"
+    traj = {fid: T for fid, _, T, lost in system.tracker.trajectory_poses()
+            if not lost}
+    ids = sorted(traj)
+    # only frames after initialization carry real poses
+    ok_ids = [i for i in ids if states[i] == 1] if len(states) == n else ids
+    assert len(ok_ids) >= 15, len(ok_ids)
+    est = np.stack([traj[i] for i in ok_ids])
+    gt = np.stack([gt_poses[i] for i in ok_ids])
+    ate = ate_rmse(est, gt, align_scale=True)
+    # scale-aligned over the post-init segment of a ~15 m path
+    assert ate < 1.0, ate

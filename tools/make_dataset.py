@@ -40,14 +40,19 @@ class _Cam:
         self.bf = self.fx * baseline
 
 
-def _trajectory(n_frames, step=0.25):
+def _trajectory(n_frames, step=0.25, lateral=0.0):
+    """Forward-dominant motion by default; `lateral` adds per-frame x
+    translation (monocular H/F initialization needs parallax — pure
+    forward motion barely produces any)."""
     import jax.numpy as jnp
 
     from my_orb_slam2_tpu.ops import lie
 
     poses = []
     Twc = np.eye(4)
-    d = np.asarray(lie.se3_exp(jnp.asarray([0.0, 0.0, step, 0.0, 0.004, 0.0])))
+    d = np.asarray(
+        lie.se3_exp(jnp.asarray([lateral, 0.0, step, 0.0, 0.004, 0.0]))
+    )
     for _ in range(n_frames):
         poses.append(np.linalg.inv(Twc).astype(np.float32))
         Twc = Twc @ d
@@ -93,12 +98,14 @@ def _write_settings(path, cam, H, W, sensor, n_features=800):  # noqa: D103
             f.write(f"{k}: {v}\n")
 
 
-def make_tum(out_dir, n_frames=80, H=240, W=320, seed=5):
+def make_tum(out_dir, n_frames=80, H=240, W=320, seed=5, lateral=0.0,
+             extent=(10.0, 6.0, 60.0), z_near=3.0):
     os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
     cam = _Cam(H, W, baseline=0.075)
-    world = make_world(seed=seed, n_pts=1400, extent=(10.0, 6.0, 60.0))
-    poses = _trajectory(n_frames)
+    world = make_world(seed=seed, n_pts=1400, extent=extent, z_near=z_near)
+    poses = _trajectory(n_frames, step=0.12 if lateral else 0.25,
+                        lateral=lateral)
     times = [1_300_000_000.0 + i * 0.1 for i in range(n_frames)]
     rgb_lines, depth_lines, assoc = [], [], []
     for i, (t, Tcw) in enumerate(zip(times, poses)):
@@ -146,9 +153,36 @@ def make_kitti(out_dir, n_frames=80, H=240, W=320, seed=11):
     return poses, times
 
 
+def make_euroc(out_dir, n_frames=60, H=240, W=320, seed=17):
+    """EuRoC MAV layout: cam0/data + cam1/data with nanosecond-stamped PNG
+    names + a timestamp list (reference Examples/Stereo/stereo_euroc.cc;
+    images synthesized already-rectified, so the optional rectification
+    maps are identity)."""
+    cam = _Cam(H, W, baseline=0.11)
+    for c in ("cam0", "cam1"):
+        os.makedirs(os.path.join(out_dir, c, "data"), exist_ok=True)
+    world = make_world(seed=seed, n_pts=2600, extent=(12.0, 6.0, 50.0),
+                      z_near=2.0)
+    poses = _trajectory(n_frames, step=0.3)
+    stamps = [int(1.4e18) + i * 50_000_000 for i in range(n_frames)]
+    for i, Tcw in enumerate(poses):
+        left, _ = render_with_depth(world, cam, H, W, Tcw)
+        right, _ = render_with_depth(world, cam, H, W, Tcw,
+                                     right_shift=cam.baseline)
+        write_png(os.path.join(out_dir, "cam0", "data", f"{stamps[i]}.png"), left)
+        write_png(os.path.join(out_dir, "cam1", "data", f"{stamps[i]}.png"), right)
+    with open(os.path.join(out_dir, "timestamps.txt"), "w") as f:
+        f.write("\n".join(str(t) for t in stamps) + "\n")
+    times = [t * 1e-9 for t in stamps]
+    _write_groundtruth(os.path.join(out_dir, "groundtruth.txt"), poses, times)
+    _write_settings(os.path.join(out_dir, "settings.yaml"), cam, H, W,
+                    "stereo", n_features=1400)
+    return poses, times
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("kind", choices=["tum", "kitti"])
+    ap.add_argument("kind", choices=["tum", "kitti", "euroc"])
     ap.add_argument("out_dir")
     ap.add_argument("--frames", type=int, default=80)
     ap.add_argument("--hw", default="240x320")
@@ -156,6 +190,8 @@ def main():
     H, W = (int(x) for x in args.hw.split("x"))
     if args.kind == "tum":
         make_tum(args.out_dir, args.frames, H, W)
+    elif args.kind == "euroc":
+        make_euroc(args.out_dir, args.frames, H, W)
     else:
         make_kitti(args.out_dir, args.frames, H, W)
     print(f"wrote {args.kind} sequence ({args.frames} frames, {H}x{W}) "
