@@ -1282,7 +1282,7 @@ def light_pass(cfg: SlamConfig, state: ms.MapState, kf_id, n_neighbors: int):
 
 
 def full_pass(cfg: SlamConfig, state: ms.MapState, kf_id,
-              run_ba: bool = True, cull: bool = True):
+              run_ba: bool = True, cull: bool = True, fuse_targets: int = 20):
     """The optional mapper passes: neighbor fuse, local BA, keyframe
     culling (reference runs these when its queue is empty,
     src/LocalMapping.cc:86-102).
@@ -1297,7 +1297,7 @@ def full_pass(cfg: SlamConfig, state: ms.MapState, kf_id,
     # geometry refresh inside fuse is redundant when BA's writeback follows
     # (BA moves the points and refreshes geometry itself)
     state, fuse_tgts = fuse_neighbors(
-        cfg, state, kf_id, refresh_derived=not run_ba
+        cfg, state, kf_id, n_targets=fuse_targets, refresh_derived=not run_ba
     )
     if run_ba:
         prob, aux = extract_local_ba_dense(cfg, state, kf_id)
@@ -1354,6 +1354,14 @@ class LocalMapper:
         # half the gather cost (the reference also skips culling whenever
         # its queue is non-empty, src/LocalMapping.cc:86-102).
         self.cull_every = max(1, cull_every)
+        # Fuse-target count: reference SearchInNeighbors gathers 10 (stereo)
+        # first-ring covis neighbors plus each one's 5 best
+        # (src/LocalMapping.cc:530-552); top-20 covers the dedup'd union.
+        # Measured: cutting to 12 LOWERS sustained fps — the weaker fuse
+        # degrades the map, which inflates keyframe insertion (109 -> 124
+        # KFs over the same 190 frames) and the extra mapper passes cost
+        # more than the smaller search saves.
+        self.fuse_targets = 20
         self._since_cull = 0
         self._since_full = 0
         # Deferred (device-scalar) counters: converting per-call would stall
@@ -1393,7 +1401,10 @@ class LocalMapper:
         do_cull = self.cull and self._since_cull >= self.cull_every
         if do_cull:
             self._since_cull = 0
-        state, culled_mask = full_pass(cfg, state, kf, run_ba=run_ba, cull=do_cull)
+        state, culled_mask = full_pass(
+            cfg, state, kf, run_ba=run_ba, cull=do_cull,
+            fuse_targets=self.fuse_targets,
+        )
         if run_ba:
             self._ba_runs += 1
         if do_cull:
