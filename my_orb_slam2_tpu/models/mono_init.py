@@ -154,6 +154,45 @@ def create_initial_map_mono(
     return state, T1, kf1, cur_mp, n_points
 
 
+def _compact_init_frames(ref, cur, match_idx, good, pts3d, capacity: int):
+    """Compact 2x-capacity initialization frames down to the pipeline's
+    keypoint capacity, keeping every matched keypoint.
+
+    The reference extracts 2x features while monocular-uninitialized
+    (src/Tracking.cc:274-277) and keeps all of them in the two initial
+    keyframes; here keyframe rows are fixed-capacity, so after a successful
+    bootstrap the surviving matches (always << capacity) are kept and the
+    remainder filled in extraction order (which preserves the per-level
+    quota balance). One-time host-side work at initialization.
+    """
+    n2 = int(ref.uv.shape[0])
+    if n2 <= capacity:
+        return ref, cur, match_idx, good, pts3d
+    good_np = np.asarray(good)
+    mi = np.asarray(match_idx)
+    order_ref = np.argsort(~good_np, kind="stable")  # matched rows first
+    perm_ref = order_ref[:capacity]
+    kept_good = good_np[perm_ref]
+    tgt = mi[perm_ref][kept_good]
+    is_tgt = np.zeros(n2, bool)
+    is_tgt[tgt] = True
+    order_cur = np.argsort(~is_tgt, kind="stable")
+    perm_cur = order_cur[:capacity]
+    inv_cur = np.zeros(n2, np.int32)
+    inv_cur[perm_cur] = np.arange(capacity, dtype=np.int32)
+    new_mi = inv_cur[mi[perm_ref]]
+    take = lambda fr, perm: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a)[perm]), fr
+    )
+    return (
+        take(ref, perm_ref),
+        take(cur, perm_cur),
+        jnp.asarray(new_mi),
+        jnp.asarray(kept_good),
+        jnp.asarray(np.asarray(pts3d)[perm_ref]),
+    )
+
+
 class MonoInitializer:
     """Host driver latched into the Tracker for MONOCULAR sensors."""
 
@@ -188,15 +227,20 @@ class MonoInitializer:
         boot = two_view_bootstrap(cfg, k, self.ref.uv, uv_cur, ok)
         if not bool(boot["success"]):
             return False
+        ref_c, cur_c, idx_c, good_c, pts_c = _compact_init_frames(
+            self.ref, frame, idx, boot["good"] & ok, boot["pts3d"],
+            tracker.capacity,
+        )
         tracker.map, T1, kf1, cur_mp, n_pts = create_initial_map_mono(
-            cfg, tracker.map, self.ref, frame, idx, boot["good"] & ok,
-            boot["Tcw2"], boot["pts3d"],
+            cfg, tracker.map, ref_c, cur_c, idx_c, good_c,
+            boot["Tcw2"], pts_c,
             jnp.float32(self.ref_ts), jnp.float32(timestamp),
         )
+        frame = cur_c
         if int(n_pts) < 80:
             # Roll back is impossible on the donated state; treat as success
             # only with enough points — otherwise reset the whole map.
-            tracker.map = ms.init_map_state(cfg, frame.uv.shape[0])
+            tracker.map = ms.init_map_state(cfg, tracker.capacity)
             self.ref = None
             return False
         from my_orb_slam2_tpu.models.tracking import TrackingState

@@ -111,6 +111,7 @@ class SlamSystem:
             self.tracker.pipeline_depth = pipeline_depth
         self.map_change_idx = 0
         self.timing = []
+        self._init_factory = None  # lazy 2x-feature mono-init extractor
 
     # -- per-frame entry points (reference System::Track*) -----------------
 
@@ -123,7 +124,24 @@ class SlamSystem:
         return self._track(frame, timestamp)
 
     def track_mono(self, img, timestamp: float) -> dict:
-        frame = self.factory.build_mono(img)
+        # While monocular-uninitialized the reference extracts 2x features
+        # (mpIniORBextractor, src/Tracking.cc:274-277): the initializer only
+        # consumes level-0 keypoints, and the doubled budget is what makes
+        # the 100-match bootstrap gate reachable. The initializer compacts
+        # the two init frames back to the pipeline capacity on success.
+        if self.tracker.state == TrackingState.NOT_INITIALIZED:
+            if self._init_factory is None:
+                import dataclasses
+
+                orb2 = dataclasses.replace(
+                    self.cfg.orb, n_features=2 * self.cfg.orb.n_features
+                )
+                self._init_factory = FrameFactory(
+                    dataclasses.replace(self.cfg, orb=orb2)
+                )
+            frame = self._init_factory.build_mono(img)
+        else:
+            frame = self.factory.build_mono(img)
         return self._track(frame, timestamp)
 
     def track_frame_data(self, frame: FrameData, timestamp: float) -> dict:

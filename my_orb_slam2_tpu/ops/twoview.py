@@ -267,13 +267,15 @@ def check_rt(R, t, uv1, uv2, mask, fx, fy, cx, cy, sigma2: float = 1.0):
     good = mask & finite & has_par & pos_depth & (e1 < th) & (e2 < th)
     n_good = jnp.sum(good)
 
-    # Parallax statistic: the reference takes the 50th-smallest parallax
-    # angle (src/Initializer.cc:898-905); we take a masked percentile.
+    # Parallax statistic: the reference sorts the good points' parallax
+    # COSINES ascending and takes index min(50, n-1) — i.e. the 51st-LARGEST
+    # parallax angle (src/Initializer.cc:898-905). Taking the other tail
+    # (smallest angles) makes the gate unreachable whenever any far points
+    # triangulate, however strong the near-field parallax is.
     par_deg = jnp.degrees(jnp.arccos(jnp.clip(cos_par, -1.0, 1.0)))
-    big = jnp.where(good, par_deg, 1e9)
-    k = jnp.minimum(50, jnp.maximum(n_good, 1)) - 1
-    sorted_par = jnp.sort(big)
-    parallax = jnp.minimum(sorted_par[k], 90.0)
+    desc = -jnp.sort(-jnp.where(good, par_deg, -1e9))  # descending angles
+    k = jnp.minimum(50, jnp.maximum(n_good, 1) - 1)
+    parallax = jnp.clip(desc[k], 0.0, 90.0)
     return n_good, good, parallax, pts
 
 
