@@ -91,8 +91,12 @@ def create_new_map_points(
     shrinks every (queries x candidates) matrix ~2x AND makes it feasible to
     batch all neighbors in one vmap instead of a sequential lax.map — the
     per-step dispatch overhead of K sequential searches was the dominant
-    cost of this pass at capacity. Overflow beyond max_queries is counted
-    in cap_overflow.
+    cost of this pass at capacity. Queries beyond max_queries (the
+    coarsest-octave slots, by extraction order) are shed this pass and
+    counted in shed_work; raising the bound to cover them was measured to
+    flood the map with duplicate far points (29k vs 5k live points, 4x
+    worse ATE) — the bound doubles as the reference's natural rate limit
+    that its direct-index matcher provides.
     """
     cam = cfg.camera
     KF, N = state.kf_mp.shape
@@ -111,7 +115,7 @@ def create_new_map_points(
     q_cand = state.kf_kp_valid[kf_id] & (state.kf_mp[kf_id] < 0)
     n_q = jnp.sum(q_cand, dtype=jnp.int32)
     state = state._replace(
-        cap_overflow=state.cap_overflow + jnp.maximum(n_q - Q, 0)
+        shed_work=state.shed_work + jnp.maximum(n_q - Q, 0)
     )
     q_slot = jnp.nonzero(q_cand, size=Q, fill_value=N)[0]  # (Q,)
     q_ok = q_slot < N
@@ -278,7 +282,32 @@ def create_new_map_points(
     scale_ok = (ratio_dist * ratio_factor > ratio_oct) & (
         ratio_dist < ratio_oct * ratio_factor
     )
-    want = usable & ok1 & ok2 & scale_ok & (d1 > 1e-6) & (d2 > 1e-6)
+
+    # Stereo-depth consistency: when a view carries a stereo measurement,
+    # the triangulated depth must agree with it within 3 sigma of the
+    # stereo depth uncertainty (sigma_z = z^2 / bf * sigma_px). Epipolar-
+    # aliased WRONG matches triangulate to arbitrary depths yet reproject
+    # perfectly in both views (any two rays' intersection does), so the
+    # chi2 gates cannot catch them — the independent stereo depth can.
+    # (The reference gets a weaker form of this by preferring stereo
+    # unprojection at low ray parallax, src/LocalMapping.cc:382-425; with
+    # ~10% of observations landing on aliased points beyond the scene's
+    # physical extent, the explicit test is the TPU build's answer.)
+    def stereo_consistent(z_tri, depth_meas, oct_):
+        sig_z = depth_meas * depth_meas / cam.bf * jnp.sqrt(jnp.take(sigma2, oct_))
+        return jnp.abs(z_tri - depth_meas) <= 3.0 * sig_z
+
+    st_ok1 = jnp.where(
+        depth1 > 0, stereo_consistent(pc1[:, 2], depth1, oct1), True
+    )
+    pc2_z = jnp.einsum("nj,nj->n", T2s[:, 2, :3], X) + T2s[:, 2, 3]
+    st_ok2 = jnp.where(
+        depth2 > 0, stereo_consistent(pc2_z, depth2, oct2), True
+    )
+    want = (
+        usable & ok1 & ok2 & scale_ok & st_ok1 & st_ok2
+        & (d1 > 1e-6) & (d2 > 1e-6)
+    )
 
     # --- allocate + wire into both keyframes ------------------------------
     normal = (X - O1w) / jnp.maximum(d1[:, None], 1e-9)
@@ -541,7 +570,7 @@ def _fuse_dir_b(
     )
     in_view = tgt_mask_rows & okf_all
     state = state._replace(
-        cap_overflow=state.cap_overflow
+        shed_work=state.shed_work
         + jnp.maximum(jnp.sum(in_view, dtype=jnp.int32) - max_cand_b, 0)
     )
     candB = jnp.nonzero(in_view, size=min(max_cand_b, MP), fill_value=MP)[0]
@@ -658,7 +687,7 @@ def _apply_replacements(state, replace_map, replaced, max_losers: int = 1024):
     # static cap stay un-merged (valid duplicates) and are counted.
     n_replaced = jnp.sum(replaced, dtype=jnp.int32)
     state = state._replace(
-        cap_overflow=state.cap_overflow
+        shed_work=state.shed_work
         + jnp.maximum(n_replaced - min(max_losers, MP), 0)
     )
     lids = jnp.nonzero(replaced, size=min(max_losers, MP), fill_value=MP)[0]
@@ -1006,6 +1035,28 @@ def extract_local_ba_dense(
     e_slotc = jnp.clip(e_slot, 0, N - 1)
     e_cam = jnp.where(e_ok, jnp.take(cam_local, e_kfc), -1)  # (P, K)
     e_mask = e_ok & (e_cam >= 0) & state.kf_kp_valid[e_kfc, e_slotc]
+
+    # The index rows carry up to K observers, but the LM loop's cost is
+    # linear in the problem's obs width: keep a K_BA-entry subset per point
+    # — in-window observations first, free-camera ones before fixed anchors
+    # (those constrain the cameras being optimized; entries at cameras
+    # outside the window carry no residual at all and sort last).
+    K_BA = 16
+    e_col = jnp.broadcast_to(
+        jnp.arange(e_kf.shape[1], dtype=jnp.int32)[None, :], e_kf.shape
+    )
+    if e_kf.shape[1] > K_BA:
+        # In-window entries first, keeping row (insertion) order — measured
+        # indistinguishable from free-first / interleaved orderings across
+        # seeds (tools/ate_seed_sweep.py), so the simplest policy wins.
+        key = jnp.where(e_mask, 0, 1)
+        order = jnp.argsort(key, axis=1, stable=True)[:, :K_BA]
+        sub = lambda a: jnp.take_along_axis(a, order, axis=1)
+        e_kf, e_slot, e_cam = sub(e_kf), sub(e_slot), sub(e_cam)
+        e_ok, e_mask, e_col = sub(e_ok), sub(e_mask), sub(e_col)
+        e_kfc = jnp.clip(e_kf, 0, KF - 1)
+        e_slotc = jnp.clip(e_slot, 0, N - 1)
+
     uv = state.kf_uv[e_kfc, e_slotc]  # (P, K, 2)
     ur = jnp.where(e_mask, state.kf_ur[e_kfc, e_slotc], -1.0)
     octv = state.kf_octave[e_kfc, e_slotc]
@@ -1031,6 +1082,9 @@ def extract_local_ba_dense(
         "pt_ids": pt_ids,
         "e_kf": e_kf,
         "e_slot": e_slot,
+        # index-row column of each problem entry (the K_BA subset permutes
+        # them, so the writeback cannot assume column k == position k)
+        "e_col": e_col,
     }
     return prob, aux
 
@@ -1097,7 +1151,7 @@ def writeback_local_ba_dense(
     # Remove the dropped entries from the index rows at their known
     # positions, then compact the touched rows.
     rowi = jnp.broadcast_to(tgt_pt[:, None], drop.shape)
-    coli = jnp.broadcast_to(jnp.arange(K)[None, :], drop.shape)
+    coli = aux["e_col"]
     mp_obs_kf = state.mp_obs_kf.at[
         jnp.where(drop, rowi, MP), coli
     ].set(INVALID, mode="drop")
@@ -1241,6 +1295,21 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
     state = ms.erase_keyframe_observations(state, top_ids, red_top)
     kf_valid = state.kf_valid & ~red
     kf_mp = jnp.where(red[:, None], INVALID, state.kf_mp)
+    # EraseObservation cascade (reference MapPoint::EraseObservation,
+    # src/MapPoint.cc: nObs<=2 -> SetBadFlag): points whose observer count
+    # the cull just dropped to <=2 die WITH the keyframe. Without this,
+    # culled keyframes strand zombie points (measured: ~50% of the valid
+    # map at KITTI capacity had ZERO live observers) that keep passing the
+    # frustum check, saturate the local-search candidate cap, and alias
+    # into wrong matches.
+    touched_rows = jnp.where(
+        red_top[:, None] & (jnp.take(state.kf_mp, top_ids, axis=0) >= 0),
+        jnp.take(state.kf_mp, top_ids, axis=0), MP,
+    ).reshape(-1)
+    touched = jnp.zeros((MP + 1,), bool).at[touched_rows].set(True)[:MP]
+    dead = touched & state.mp_valid & (state.mp_n_obs <= 2)
+    state = ms.erase_map_points(state._replace(kf_mp=kf_mp), dead)
+    kf_mp = state.kf_mp
     parent_of = state.kf_parent
     # Children of culled keyframes re-home GREEDILY by covisibility weight
     # (reference KeyFrame::SetBadFlag, src/KeyFrame.cc:467-559 picks the
@@ -1343,6 +1412,7 @@ class LocalMapper:
         cull_keyframes: bool = True,
         full_every: int = 1,
         cull_every: int = 2,
+        fuse_targets: int = 20,
     ):
         self.cfg = cfg
         self.run_ba = run_ba
@@ -1356,12 +1426,12 @@ class LocalMapper:
         self.cull_every = max(1, cull_every)
         # Fuse-target count: reference SearchInNeighbors gathers 10 (stereo)
         # first-ring covis neighbors plus each one's 5 best
-        # (src/LocalMapping.cc:530-552); top-20 covers the dedup'd union.
-        # Measured: cutting to 12 LOWERS sustained fps — the weaker fuse
-        # degrades the map, which inflates keyframe insertion (109 -> 124
-        # KFs over the same 190 frames) and the extra mapper passes cost
-        # more than the smaller search saves.
-        self.fuse_targets = 20
+        # (src/LocalMapping.cc:530-552); top-20 (the default) covers the
+        # dedup'd union. Measured: cutting to 12 LOWERS sustained fps — the
+        # weaker fuse degrades the map, which inflates keyframe insertion
+        # (109 -> 124 KFs over the same 190 frames) and the extra mapper
+        # passes cost more than the smaller search saves.
+        self.fuse_targets = fuse_targets
         self._since_cull = 0
         self._since_full = 0
         # Deferred (device-scalar) counters: converting per-call would stall

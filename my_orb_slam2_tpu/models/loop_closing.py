@@ -20,6 +20,7 @@ device passes driven by a host `LoopCloser`:
 
 from __future__ import annotations
 
+import collections
 import functools
 from typing import Optional
 
@@ -164,7 +165,11 @@ def consistency_check(
         jnp.where(overlap, prev_counts[None, :] + 1, 0), axis=1
     ).astype(jnp.int32)
     enough = ok & (counts >= consistency_th)
-    return groups, jnp.where(ok, counts, 0), enough
+    # Packed (2C,) readback row [ids | enough]: the host fetches ONE small
+    # array per keyframe instead of two (each fetch through the tunnel is a
+    # full round trip).
+    packed = jnp.concatenate([cand_ids, enough.astype(jnp.int32)])
+    return groups, jnp.where(ok, counts, 0), packed
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -707,7 +712,14 @@ class LoopCloser:
         # Device-resident consistency chains (lazily sized on first use).
         self._group_masks = None  # (C, KF) bool
         self._group_counts = None  # (C,) i32
-        self._pending_detect = None  # (kf_id, ids_dev, enough_dev)
+        # Detection readbacks resolve `detect_depth` keyframes late: the
+        # tracker keeps ~5 frames of dispatches in flight, so a 1-deep
+        # pipeline forces the host to wait for the device to drain its whole
+        # queue every keyframe (measured ~2 RTT-sized stalls per frame at
+        # capacity — the single largest cost in the full-system drive). The
+        # reference's loop thread lags its queue the same way.
+        self.detect_depth = 4
+        self._pending_detect = collections.deque()  # (kf_id, packed_dev)
         self._key = jax.random.PRNGKey(11)
         self.loops_closed = 0
         self.gbas_completed = 0
@@ -730,14 +742,15 @@ class LoopCloser:
                 n_docs: int = None):
         """Run detection (+ correction if a loop is confirmed).
 
-        Detection is PIPELINED one keyframe deep: this call dispatches the
-        candidate+consistency computation for kf_id and resolves the
-        PREVIOUS keyframe's readback (which had a whole inter-keyframe
-        interval to land via the async host copy) — a synchronous readback
-        here would drain the tracker's entire in-flight dispatch pipeline
-        every keyframe (measured 2x throughput loss at capacity). The
-        reference's loop thread lags its queue the same way
-        (src/LoopClosing.cc:57-91).
+        Detection is PIPELINED `detect_depth` keyframes deep: this call
+        dispatches the candidate+consistency computation for kf_id and
+        resolves a PREVIOUS keyframe's readback (whose async host copy had
+        several inter-keyframe intervals to land). A synchronous — or even
+        1-deep — readback here waits for the device to drain the tracker's
+        ~5-frame in-flight dispatch queue every keyframe; at KITTI capacity
+        that stall was the single largest cost in the full-system drive
+        (~2 tunnel round trips per frame). The reference's loop thread lags
+        its queue the same way (src/LoopClosing.cc:57-91).
 
         n_docs: host-mirrored database size (avoids reading db.n_docs back
         from the device). Returns (state, closed: bool).
@@ -764,26 +777,41 @@ class LoopCloser:
             C = ids_dev.shape[0]
             self._group_masks = jnp.zeros((C, KF), bool)
             self._group_counts = jnp.zeros((C,), jnp.int32)
-        masks, counts, enough_dev = consistency_check(
+        masks, counts, packed_dev = consistency_check(
             state, ids_dev, self._group_masks, self._group_counts,
             cfg.loop.covisibility_consistency_th,
         )
         self._group_masks, self._group_counts = masks, counts
-        for arr in (ids_dev, enough_dev):
-            try:
-                arr.copy_to_host_async()
-            except Exception:
-                pass
-        pending, self._pending_detect = self._pending_detect, (
-            kf_id, ids_dev, enough_dev
-        )
-        if pending is None:
+        try:
+            packed_dev.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending_detect.append((kf_id, packed_dev))
+        if len(self._pending_detect) <= self.detect_depth:
             return state, False
-        det_kf, ids_dev, enough_dev = pending
-        ids = np.asarray(ids_dev)
+        return self._resolve_one_pending(state)
+
+    def drain(self, state: ms.MapState):
+        """Resolve ALL still-pending detections (sequence end / shutdown):
+        short runs would otherwise lose loops detected in the last
+        `detect_depth` keyframes. Returns (state, closed_any)."""
+        closed_any = False
+        while self._pending_detect:
+            state, closed = self._resolve_one_pending(state)
+            closed_any |= closed
+        return state, closed_any
+
+    def _resolve_one_pending(self, state: ms.MapState):
+        """Pop the oldest pending detection readback and, if its candidates
+        are consistency-eligible, run the Sim3 + correction accept path."""
+        cfg = self.cfg
+        det_kf, packed_dev = self._pending_detect.popleft()
+        packed = np.asarray(packed_dev)
+        c = packed.shape[0] // 2
+        ids, enough_bits = packed[:c], packed[c:]
         if not (ids >= 0).any():
             return state, False
-        enough = [int(i) for i, e in zip(ids, np.asarray(enough_dev)) if e]
+        enough = [int(i) for i, e in zip(ids, enough_bits) if e]
         if not enough:
             return state, False
         kf_id = det_kf  # the loop closes at the DETECTED keyframe
@@ -826,7 +854,7 @@ class LoopCloser:
             self.last_loop_kf = kf_id
             self._group_masks = jnp.zeros_like(self._group_masks)
             self._group_counts = jnp.zeros_like(self._group_counts)
-            self._pending_detect = None  # pre-closure detections are stale
+            self._pending_detect.clear()  # pre-closure detections are stale
             self.loops_closed += 1
             return state, True
         return state, False

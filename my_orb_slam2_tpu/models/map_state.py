@@ -86,9 +86,12 @@ class MapState(NamedTuple):
     n_kf: jnp.ndarray  # () i32 number of keyframe slots ever used
     next_mp: jnp.ndarray  # () i32 monotonic map-point id hint
     obs_overflow: jnp.ndarray  # () i32 observations dropped (K-slot full)
-    cap_overflow: jnp.ndarray  # () i32 candidates dropped at static-bound
-    # compactions (local-map search, fuse direction B) — silent-degradation
-    # telemetry, exposed by drivers/bench
+    cap_overflow: jnp.ndarray  # () i32 candidates LOST at a static bound
+    # (local-map search compaction, loop-correction group caps) —
+    # silent-degradation telemetry, exposed by drivers/bench
+    shed_work: jnp.ndarray  # () i32 bounded-per-pass work shed and retried
+    # on later passes (triangulation query slots, fuse candidate/loser
+    # compactions) — load-shedding telemetry, not a loss
 
 
 def init_map_state(cfg: SlamConfig, n_kp: int) -> MapState:
@@ -130,6 +133,7 @@ def init_map_state(cfg: SlamConfig, n_kp: int) -> MapState:
         next_mp=jnp.zeros((), i32),
         obs_overflow=jnp.zeros((), i32),
         cap_overflow=jnp.zeros((), i32),
+        shed_work=jnp.zeros((), i32),
     )
 
 
@@ -566,13 +570,16 @@ def insert_keyframe(
     kp_valid: jnp.ndarray,
     mp_assign: jnp.ndarray,
     min_covis_weight: int = 15,
+    obs_budget: int = 0,
 ) -> tuple[MapState, jnp.ndarray]:
     """Insert a keyframe at the next slot; update observations (both index
     directions), covisibility and spanning tree.
 
     mp_assign: (N,) map-point id observed by each keypoint (-1 none).
     Duplicate point ids keep only their first slot (one observation per
-    (point, keyframe)). Returns (new_state, kf_id).
+    (point, keyframe)). obs_budget > 0 drops assignments to MATURE points
+    (n_obs >= budget — see CapacityConfig.obs_budget). Returns
+    (new_state, kf_id).
     """
     kf_id = state.n_kf
     MP = state.mp_pos.shape[0]
@@ -580,6 +587,11 @@ def insert_keyframe(
     # Deduplicate assignments: first slot per point id wins.
     ok_a = kp_valid & (mp_assign >= 0) & (mp_assign < MP)
     ok_a = ok_a & jnp.take(state.mp_valid, jnp.clip(mp_assign, 0, MP - 1))
+    if obs_budget:
+        ok_a = ok_a & (
+            jnp.take(state.mp_n_obs, jnp.clip(mp_assign, 0, MP - 1))
+            < obs_budget
+        )
     pid_s = jnp.where(ok_a, mp_assign, MP)
     first = jnp.full((MP + 1,), N, jnp.int32).at[pid_s].min(
         jnp.arange(N, dtype=jnp.int32)

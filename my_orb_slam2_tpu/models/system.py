@@ -46,6 +46,7 @@ class _MappingChain:
     def __init__(self, system: "SlamSystem"):
         self.sys = system
         self.n_docs = 0  # host mirror of db.n_docs (no device readback)
+        self._db_add = None  # lazy fused words+insert dispatch
 
     def process(
         self, state: ms.MapState, kf_id: int, queue_pressure: bool = False
@@ -57,11 +58,21 @@ class _MappingChain:
             if culled is not None:
                 sys.db = kdb.erase_mask(sys.db, culled)
         # BoW insert (reference LocalMapping passes KFs on to LoopClosing,
-        # which inserts into the database after processing).
-        words = sys.vocab.words(state.kf_desc[kf_id])
-        sys.db = kdb.add_keyframe(
-            sys.db, jnp.int32(kf_id), words, state.kf_kp_valid[kf_id]
-        )
+        # which inserts into the database after processing). One fused
+        # dispatch: eager `state.kf_desc[kf_id]` slices each cost ~5 ms of
+        # device time through the tunnel (a materialized copy scheduled as
+        # its own tiny program) — measured 3x the cost of the jitted
+        # slice+transform+insert chain itself.
+        if self._db_add is None:
+            vocab = sys.vocab
+
+            def _add(db, st, kf):
+                return kdb.add_keyframe(
+                    db, kf, vocab.words(st.kf_desc[kf]), st.kf_kp_valid[kf]
+                )
+
+            self._db_add = jax.jit(_add)
+        sys.db = self._db_add(sys.db, state, jnp.int32(kf_id))
         self.n_docs += 1
         if sys.enable_loop_closing and not sys.tracker.only_tracking:
             state, closed = sys.loop_closer.process(
@@ -216,6 +227,18 @@ class SlamSystem:
 
     def shutdown(self):
         self.tracker.flush()  # drain in-flight pipelined frames
+        if self.enable_loop_closing and not self.tracker.only_tracking:
+            # Resolve detections still in the loop closer's readback pipeline
+            # (the last detect_depth keyframes of the sequence).
+            self.tracker.map, closed = self.loop_closer.drain(self.tracker.map)
+            if closed:
+                self.map_change_idx += 1
+            # Run any in-flight chunked global BA to completion (the
+            # reference joins its GBA thread on Shutdown, src/System.cc:301).
+            while self.loop_closer.pending_gba is not None:
+                self.tracker.map, applied = self.loop_closer.tick(self.tracker.map)
+                if applied:
+                    self.map_change_idx += 1
 
     def get_tracking_state(self) -> int:
         return self.tracker.state

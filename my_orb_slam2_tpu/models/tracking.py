@@ -65,6 +65,13 @@ def _motion_octave_window(cfg: SlamConfig, last_octave, Tcw_last, Tcw_pred):
     return lo, hi, radius_sf
 
 
+@jax.jit
+def _row_i32(table, i):
+    """Jitted row slice (an eager `table[i]` is its own ~5 ms device
+    program through the tunnel)."""
+    return table[i]
+
+
 class TrackResult(NamedTuple):
     Tcw: jnp.ndarray  # (4,4)
     cur_mp: jnp.ndarray  # (N,) map point id per keypoint slot
@@ -392,14 +399,14 @@ def track_local_map(
     # Compact the candidate set: only in-frustum local points enter the
     # (candidates x keypoints) Hamming/window search. The frustum pass runs
     # over all MP rows (cheap elementwise), but the quadratic search drops
-    # from MP x N to MAXC x N. At KITTI capacity the mature local map keeps
-    # ~7k points in frustum, so this cap truncates (counted in
-    # cap_overflow); raising it to 8192 was measured to WORSEN ATE 5x on
-    # the capacity drive (the extra, mostly-distant candidates alias into
-    # wrong matches) at zero fps gain — the low-index-first truncation
-    # behaves as an accidental age prior and 4096 is the better operating
-    # point.
-    MAXC = min(4096, MP)
+    # from MP x N to MAXC x N. 8192 covers the full mature local map at
+    # KITTI capacity (~5k in-frustum points once dead-point cascades are
+    # in), so nothing is truncated. (An earlier round measured 8192
+    # WORSENING ATE 5x, but that was the highest-slot-wins collision
+    # tie-break below preferring aliased new points — fixed to
+    # best-distance — compounded by zombie points inflating the frustum
+    # set.)
+    MAXC = min(8192, MP)
     n_frustum = jnp.sum(in_frustum, dtype=jnp.int32)
     state = state._replace(
         cap_overflow=state.cap_overflow + jnp.maximum(n_frustum - MAXC, 0)
@@ -425,10 +432,15 @@ def track_local_map(
         ratio=0.8,
         kp_taken=kp_taken,
     )
-    # new assignments: keypoint idx[c] observes point cand[c]
+    # new assignments: keypoint idx[c] observes point cand[c]. Collisions
+    # (two candidates matching the same keypoint) resolve by LOWEST Hamming
+    # distance (reference keeps the running best per keypoint); a slot-order
+    # tie-break instead silently prefers the newest point, which is what
+    # made widening the candidate cap WORSEN accuracy in earlier rounds.
+    keep = matching.one_to_one(idx, dist, ok, N)
     add_mp = jnp.full((N,), INVALID, jnp.int32).at[
-        jnp.where(ok, idx, N - 1)
-    ].max(jnp.where(ok, cs, INVALID), mode="drop")
+        jnp.where(keep, idx, N - 1)
+    ].max(jnp.where(keep, cs, INVALID), mode="drop")
     cur_mp2 = jnp.where(cur_mp >= 0, cur_mp, add_mp)
 
     # --- pose optimization on the full set --------------------------------
@@ -513,6 +525,7 @@ def insert_keyframe_with_points(
         frame.desc,
         frame.valid,
         cur_mp,
+        obs_budget=cfg.capacity.obs_budget,
     )
     if cam.bf > 0:
         # Candidates: valid kps with depth, no map point yet.
@@ -658,9 +671,9 @@ def track_frame(
     # Overflow counters ride the same packed readback: silent-cap events
     # (compaction truncation, observation-list saturation) become visible
     # in every frame's info dict at zero extra RTT cost.
-    overflow = jnp.stack([state.cap_overflow, state.obs_overflow]).astype(
-        jnp.float32
-    )
+    overflow = jnp.stack(
+        [state.cap_overflow, state.obs_overflow, state.shed_work]
+    ).astype(jnp.float32)
     packed = jnp.concatenate(
         [res_l.Tcw.reshape(16), stats.astype(jnp.float32), T_ref.reshape(16),
          overflow]
@@ -881,6 +894,7 @@ class Tracker:
         self._ref_pose_host = packed[25:41].reshape(4, 4)
         info["cap_overflow"] = int(packed[41])
         info["obs_overflow"] = int(packed[42])
+        info["shed_work"] = int(packed[43])
         n_inliers = int(stats[0])
         stage1_inl = int(stats[6])
         info["motion_inliers" if stats[7] else "refkf_inliers"] = stage1_inl
@@ -946,7 +960,9 @@ class Tracker:
                 # No newer dispatch in flight: the KF's point assignments
                 # (including freshly spawned stereo points) are aligned with
                 # self.last_frame — mirror them for the next motion search.
-                self.last_mp = self.map.kf_mp[kf_slot]
+                # (jitted: an eager row slice costs ~5 ms of device time
+                # through the tunnel vs ~0 for the compiled program)
+                self.last_mp = _row_i32(self.map.kf_mp, np.int32(kf_slot))
             if self.local_mapper is not None:
                 self.map = self.local_mapper.process(
                     self.map, kf_slot, queue_pressure=kf_burst

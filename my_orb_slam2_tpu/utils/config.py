@@ -181,8 +181,21 @@ class CapacityConfig:
     max_global_ba_obs: int = 262144
     # Observer-list capacity per map point (the inverted observation index,
     # reference MapPoint::mObservations). Observations past this are dropped
-    # and counted in MapState.obs_overflow.
-    max_obs_per_point: int = 16
+    # and counted in MapState.obs_overflow. Live observers are bounded by
+    # the live keyframe count (~30 after culling at KITTI capacity), so 32
+    # makes drops rare; the local-BA problem still uses a 16-entry
+    # in-window subset per point (extract_local_ba_dense) so LM cost does
+    # not scale with this.
+    max_obs_per_point: int = 32
+    # Optional observation BUDGET per landmark: once a point's n_obs
+    # (stereo counts 2, reference MapPoint::AddObservation) reaches this,
+    # new keyframes stop wiring it — it keeps serving motion-model tracking
+    # but fades out of local windows as its observers age out. 0 (default)
+    # disables, matching the reference's unbounded observations; the
+    # multi-seed capacity ablation (tools/ate_seed_sweep.py) showed no
+    # significant ATE difference between budgeted and unbounded, so the
+    # reference-faithful default stands.
+    obs_budget: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,6 +33,30 @@ if _repo not in sys.path:
 import numpy as np
 import pytest
 
+# The full suite compiles hundreds of XLA CPU executables; each one holds
+# LLVM JIT code/data mmaps for the life of the process. Past ~85 tests the
+# process exceeds vm.max_map_count (default 65530) and LLVM's memory
+# manager fails with "Cannot allocate memory" -> segfault, killing the run
+# even with >100 GB of RAM free. Two mitigations: raise the limit when
+# permitted (best-effort; needs root), and drop compiled-executable
+# references between test modules so their mappings are returned.
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        _cur = int(f.read())
+    if _cur < 1_000_000:
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("1000000")
+except OSError:
+    pass
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    import jax
+
+    jax.clear_caches()
+
 
 @pytest.fixture
 def rng():

@@ -1,5 +1,7 @@
 """Silent caps must be COUNTED: every static-capacity truncation increments
-a device counter (cap_overflow / obs_overflow) that drivers surface
+a device counter (cap_overflow for losses, shed_work for bounded-per-pass
+work shedding, obs_overflow for observation-row saturation) that drivers
+surface
 (VERDICT r2 weak 6). Each test forces one overflow and asserts the counter
 moves.
 """
@@ -44,7 +46,9 @@ def _two_kf_state(cfg, stereo_fraction=0.3, n_frames=4):
 
 
 def test_triangulation_query_overflow_counted():
-    """More map-point-free keypoints than max_queries -> cap_overflow."""
+    """More map-point-free keypoints than max_queries -> shed_work (the
+    queries are re-attempted on later passes, so they are load-shedding,
+    not candidate loss)."""
     cfg = tiny_cfg()
     tracker = _two_kf_state(cfg, stereo_fraction=0.8)
     assert tracker.n_kf >= 1, "fixture failed to initialize"
@@ -63,12 +67,12 @@ def test_triangulation_query_overflow_counted():
         ).sum()
     )
     assert n_free > 8, "fixture must leave unmatched keypoints"
-    before = int(np.asarray(state.cap_overflow))
+    before = int(np.asarray(state.shed_work))
     state2, _ = create_new_map_points(
         cfg, jax.tree.map(lambda x: x.copy(), state), kf,
         n_neighbors=2, max_queries=8,
     )
-    after = int(np.asarray(state2.cap_overflow))
+    after = int(np.asarray(state2.shed_work))
     assert after - before == n_free - 8, (before, after, n_free)
 
 

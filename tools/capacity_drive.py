@@ -155,6 +155,7 @@ def main():
     print(
         f"cap_overflow={int(np.asarray(m.cap_overflow))} "
         f"obs_overflow={int(np.asarray(m.obs_overflow))} "
+        f"shed_work={int(np.asarray(m.shed_work))} "
         f"kf_capacity_refusals={tracker.kf_capacity_refusals}"
     )
     assert lost == 0, "tracking lost at capacity scale"
