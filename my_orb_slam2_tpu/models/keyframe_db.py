@@ -2,13 +2,16 @@
 
 Replaces reference KeyFrameDatabase (src/KeyFrameDatabase.cc). The
 reference's inverted file (word -> keyframe list) becomes a DENSE
-(KF, n_words) uint8 count matrix: every TF-IDF L1 score against ALL
-keyframes is pure dense VPU/MXU math — one elementwise min + row
-reduction — with no gathers at all. At the engine's vocabulary sizes
-(10k-word packed tree, 16k-word LSH fallback) the matrix is 15-25 MB at
-KITTI capacity, which beats the previous sparse per-keyframe word LISTS
-outright: the lists were ~12 MB but each query paid two ~3M-row gathers
-(~75 ms/query on the target chip vs a few ms dense).
+(KF, n_words) uint8 count matrix; queries gather only the QUERY'S words
+(a frame carries at most its keypoint-capacity distinct words, <= 2048),
+so the per-query cost is a (KF, n_q) column gather + reduction —
+independent of vocabulary size. The per-keyframe L1 norm is maintained
+incrementally at insert time under the idf of that moment (DBoW2's
+weights are likewise frozen at training time, ScoringObject.cpp:23 —
+recomputing historical norms under a drifting running-idf would match
+neither DBoW2 nor the stored rows). This keeps 100k+-word vocabularies
+affordable: the old all-words formulation scanned the full (KF, W)
+matrix per query (~60 ms at W=100k vs ~2 ms sparse).
 
 The candidate logic reproduces the reference gates:
 - DetectLoopCandidates (src/KeyFrameDatabase.cc:76-208): exclude covisible
@@ -34,6 +37,8 @@ from my_orb_slam2_tpu.models import map_state as ms
 class KfDatabase(NamedTuple):
     kf_bow: jnp.ndarray  # (KF, n_words) uint8 word counts (saturating)
     kf_valid: jnp.ndarray  # (KF,) bool (mirrors map kf_valid at insert time)
+    kf_l1: jnp.ndarray  # (KF,) f32 L1 norm of the idf-weighted row (frozen
+    # at insert time — see module docstring)
     df: jnp.ndarray  # (n_words,) int32 document frequency
     n_docs: jnp.ndarray  # () int32
     n_words: jnp.ndarray  # () int32 vocabulary size (static metadata)
@@ -43,31 +48,47 @@ def init_db(max_kf: int, n_kp: int, n_words: int) -> KfDatabase:
     return KfDatabase(
         kf_bow=jnp.zeros((max_kf, n_words), jnp.uint8),
         kf_valid=jnp.zeros((max_kf,), bool),
+        kf_l1=jnp.zeros((max_kf,), jnp.float32),
         df=jnp.zeros((n_words,), jnp.int32),
         n_docs=jnp.zeros((), jnp.int32),
         n_words=jnp.asarray(n_words, jnp.int32),
     )
 
 
+def _idf_from(df, n_docs):
+    n = jnp.maximum(n_docs, 1).astype(jnp.float32)
+    return jnp.log(n / (df.astype(jnp.float32) + 1.0) + 1.0)
+
+
 def idf_table(db: KfDatabase) -> jnp.ndarray:
     """Running inverse document frequency (the procedural-vocabulary
     equivalent of DBoW2's trained idf weights)."""
-    n = jnp.maximum(db.n_docs, 1).astype(jnp.float32)
-    return jnp.log(n / (db.df.astype(jnp.float32) + 1.0) + 1.0)
+    return _idf_from(db.df, db.n_docs)
 
 
 @jax.jit
 def add_keyframe(db: KfDatabase, kf_id, words, valid) -> KfDatabase:
     n_words = db.df.shape[0]
-    cnt = jnp.zeros((n_words + 1,), jnp.int32).at[
-        jnp.where(valid & (words >= 0), words, n_words)
-    ].add(1)[:n_words]
+    ok = valid & (words >= 0)
+    cnt_q = jnp.zeros((n_words + 1,), jnp.int32).at[
+        jnp.where(ok, words, n_words)
+    ].add(1)
+    cnt = cnt_q[:n_words]
     row = jnp.minimum(cnt, 255).astype(jnp.uint8)
+    df = db.df + (cnt > 0).astype(jnp.int32)
+    n_docs = db.n_docs + 1
+    # Row L1 under the idf as of THIS insert (df updated first so the row's
+    # own words are counted): gather only the row's words.
+    idf = _idf_from(df, n_docs)
+    wq = jnp.where(ok, words, 0)
+    contrib = jnp.take(idf, wq) * ok.astype(jnp.float32)
+    l1 = jnp.sum(contrib)
     return db._replace(
         kf_bow=db.kf_bow.at[kf_id].set(row),
         kf_valid=db.kf_valid.at[kf_id].set(True),
-        df=db.df + (cnt > 0).astype(jnp.int32),
-        n_docs=db.n_docs + 1,
+        kf_l1=db.kf_l1.at[kf_id].set(jnp.maximum(l1, 1e-9)),
+        df=df,
+        n_docs=n_docs,
     )
 
 
@@ -82,6 +103,7 @@ def erase_mask(db: KfDatabase, kill: jnp.ndarray) -> KfDatabase:
     return db._replace(
         kf_bow=jnp.where(kill[:, None], 0, db.kf_bow),
         kf_valid=db.kf_valid & ~kill,
+        kf_l1=jnp.where(kill, 0.0, db.kf_l1),
         df=db.df - df_dec,
         n_docs=jnp.maximum(db.n_docs - jnp.sum(kill.astype(jnp.int32)), 0),
     )
@@ -93,20 +115,32 @@ def erase_keyframe(db: KfDatabase, kf_id) -> KfDatabase:
     return erase_mask(db, kill)
 
 
+# A query can carry at most its keypoint capacity of distinct words; every
+# driver in this repo uses <= 2048 keypoints per frame.
+MAX_QUERY_WORDS = 2048
+
+
 def _query_scores_from_counts(db: KfDatabase, q_cnt):
     """TF-IDF L1 similarity of a (W,)-count query against every keyframe
     (DBoW2 L1 score, reference ScoringObject.cpp:23): for L1-normalized
-    non-negative vectors s = sum_w min(v_hat_w, q_hat_w). Fully dense:
-    one (KF, W) min + row reduction, no gathers."""
+    non-negative vectors s = sum_w min(v_hat_w, q_hat_w). Only the query's
+    nonzero words can contribute (min(v, 0) = 0), so the whole score is a
+    (KF, n_q) column gather + reduction — vocabulary-size independent."""
+    W = db.df.shape[0]
+    n_q = min(MAX_QUERY_WORDS, W)
     idf = idf_table(db)
-    q_w = q_cnt.astype(jnp.float32) * idf
-    q_hat = q_w / jnp.maximum(jnp.sum(q_w), 1e-9)  # (W,)
-    kf_w = db.kf_bow.astype(jnp.float32) * idf[None, :]  # (KF, W)
-    kf_l1 = jnp.maximum(jnp.sum(kf_w, axis=1), 1e-9)  # (KF,)
-    inter = jnp.sum(jnp.minimum(kf_w / kf_l1[:, None], q_hat[None, :]), axis=1)
-    shared = jnp.sum(
-        (db.kf_bow > 0) & (q_cnt > 0)[None, :], axis=1, dtype=jnp.int32
-    )
+    qw = jnp.nonzero(q_cnt > 0, size=n_q, fill_value=W)[0]  # (n_q,)
+    ok_w = qw < W
+    qwc = jnp.clip(qw, 0, W - 1)
+    q_idf = jnp.take(idf, qwc)
+    q_vals = jnp.take(q_cnt, qwc).astype(jnp.float32) * q_idf
+    q_vals = jnp.where(ok_w, q_vals, 0.0)
+    q_hat = q_vals / jnp.maximum(jnp.sum(q_vals), 1e-9)  # (n_q,)
+    cols = db.kf_bow[:, qwc].astype(jnp.float32)  # (KF, n_q)
+    cols = cols * ok_w[None, :]
+    kf_w = cols * q_idf[None, :] / jnp.maximum(db.kf_l1, 1e-9)[:, None]
+    inter = jnp.sum(jnp.minimum(kf_w, q_hat[None, :]), axis=1)
+    shared = jnp.sum((cols > 0), axis=1).astype(jnp.int32)
     return (
         jnp.where(db.kf_valid, inter, -1.0),
         jnp.where(db.kf_valid, shared, 0),
@@ -174,8 +208,19 @@ def detect_loop_candidates(
     connected = (state.covis[kf_id] >= 15) & state.kf_valid & db.kf_valid
     min_score = jnp.min(jnp.where(connected, scores, jnp.inf))
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 1.0)
-    # Exclude self + covisible keyframes (reference :88-92).
-    excl = connected | (jnp.arange(scores.shape[0]) == kf_id)
+    # Exclude self + EVERY keyframe sharing at least one map point: the
+    # reference's spConnectedKeyFrames comes from GetConnectedKeyFrames(),
+    # which returns the FULL weight map (weight >= 1, KeyFrame.cc
+    # UpdateConnections), not the >= 15 covisibility edges — a recent
+    # keyframe sharing a handful of points must not be loop-eligible
+    # (measured: a weight-<15 neighbor 120 frames into a rendered circuit
+    # passed every Sim3 gate as a "loop" and its correction corrupted the
+    # map). The >= 15 set still defines the min-score floor (reference
+    # :140-154 uses the ordered covisible list there).
+    excl = (
+        ((state.covis[kf_id] >= 1) & state.kf_valid)
+        | (jnp.arange(scores.shape[0]) == kf_id)
+    )
     shared = jnp.where(excl, 0, shared)
     scores = jnp.where(excl, -1.0, scores)
     max_common = jnp.max(shared)

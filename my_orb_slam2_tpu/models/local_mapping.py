@@ -126,7 +126,9 @@ def create_new_map_points(
     depth1 = state.kf_depth[kf_id][qs]
     desc1 = state.kf_desc[kf_id][qs]
     angle1 = state.kf_angle[kf_id][qs]
+    words1 = state.kf_words[kf_id][qs]
     valid1 = q_ok
+    bucket_div = cfg.matcher.bow_gate_div
 
     def per_neighbor(nid, ok_n):
         T2 = state.kf_Tcw[nid]
@@ -167,6 +169,9 @@ def create_new_map_points(
             F12,
             e_uv[0],
             jnp.take(sigma2, state.kf_octave[nid]),
+            words1=words1,
+            words2=state.kf_words[nid],
+            bucket_div=bucket_div,
         )
         ok = ok & ok_n & base_ok
         return idx2, ok, jnp.where(ok, dist, 1e9)

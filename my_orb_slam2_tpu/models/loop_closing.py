@@ -71,6 +71,9 @@ def match_and_sim3(cfg: SlamConfig, state: ms.MapState, kf_cur, kf_cand, key):
         state.kf_angle[kf_cand],
         max_dist=float(cfg.matcher.th_low),
         ratio=0.75,
+        words1=state.kf_words[kf_cur],
+        words2=state.kf_words[kf_cand],
+        bucket_div=cfg.matcher.bow_gate_div,
     )
     n_matches = jnp.sum(mok)
 

@@ -76,6 +76,9 @@ class MapState(NamedTuple):
     kf_desc: jnp.ndarray  # (KF, N, 8) u32
     kf_kp_valid: jnp.ndarray  # (KF, N) bool
     kf_mp: jnp.ndarray  # (KF, N) i32 observed map-point id or -1
+    kf_words: jnp.ndarray  # (KF, N) i32 vocabulary word per keypoint (-1 =
+    # inserted without a vocabulary) — feeds the direct-index word-bucket
+    # gate in triangulation/loop matching (matching.word_bucket_mask)
 
     # --- graph ---
     covis: jnp.ndarray  # (KF, KF) i32 shared-point counts (symmetric)
@@ -126,6 +129,7 @@ def init_map_state(cfg: SlamConfig, n_kp: int) -> MapState:
         kf_desc=jnp.zeros((KF, N, 8), jnp.uint32),
         kf_kp_valid=jnp.zeros((KF, N), bool),
         kf_mp=jnp.full((KF, N), INVALID, i32),
+        kf_words=jnp.full((KF, N), INVALID, i32),
         covis=jnp.zeros((KF, KF), i32),
         kf_parent=jnp.full((KF,), INVALID, i32),
         loop_edges=jnp.zeros((KF, KF), bool),
@@ -571,6 +575,7 @@ def insert_keyframe(
     mp_assign: jnp.ndarray,
     min_covis_weight: int = 15,
     obs_budget: int = 0,
+    kp_words=None,
 ) -> tuple[MapState, jnp.ndarray]:
     """Insert a keyframe at the next slot; update observations (both index
     directions), covisibility and spanning tree.
@@ -625,6 +630,10 @@ def insert_keyframe(
         kf_desc=state.kf_desc.at[kf_id].set(kp_desc),
         kf_kp_valid=state.kf_kp_valid.at[kf_id].set(kp_valid),
         kf_mp=state.kf_mp.at[kf_id].set(assign),
+        kf_words=(
+            state.kf_words if kp_words is None
+            else state.kf_words.at[kf_id].set(kp_words)
+        ),
         mp_obs_kf=mp_obs_kf,
         mp_obs_slot=mp_obs_slot,
         n_kf=state.n_kf + 1,

@@ -110,6 +110,20 @@ class SlamSystem:
 
             vocab = default_vocabulary()
         self.vocab = vocab
+        # Direct-index word-bucket gating (reference FeatureVector joins at
+        # a fixed tree level): only meaningful for a real k-ary tree.
+        from my_orb_slam2_tpu.ops.bow import TreeVocabulary
+
+        if isinstance(vocab, TreeVocabulary) and cfg.matcher.bow_gate_div == 0:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg,
+                matcher=dataclasses.replace(
+                    cfg.matcher, bow_gate_div=vocab.k ** 2
+                ),
+            )
+            self.cfg = cfg
         self.db = kdb.init_db(cfg.capacity.max_keyframes, capacity, self.vocab.n_words)
         self.local_mapper = LocalMapper(cfg)
         self.loop_closer = LoopCloser(cfg, self.vocab, run_global_ba=run_global_ba_on_loop)
@@ -117,6 +131,11 @@ class SlamSystem:
         self.enable_loop_closing = enable_loop_closing
         self.pipeline_depth = pipeline_depth
         self.tracker = Tracker(cfg, capacity, local_mapper=_MappingChain(self))
+        if isinstance(vocab, TreeVocabulary):
+            self.tracker.vocab_pack = (
+                vocab.centers, vocab.children, vocab.leaf_word,
+            )
+            self.tracker.vocab_depth = vocab.depth
         if pipeline_depth > 0:
             self.tracker.pipelined = True
             self.tracker.pipeline_depth = pipeline_depth

@@ -496,7 +496,10 @@ def track_local_map(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "min_new_points"), donate_argnames=("state",))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "min_new_points", "vocab_depth"),
+    donate_argnames=("state",),
+)
 def insert_keyframe_with_points(
     cfg: SlamConfig,
     state: ms.MapState,
@@ -506,12 +509,22 @@ def insert_keyframe_with_points(
     frame_id,
     timestamp,
     min_new_points: int = 100,
+    vocab_pack=None,
+    vocab_depth: int = 0,
 ):
     """Insert a keyframe and spawn close stereo/RGB-D map points for
     unmatched keypoints (reference CreateNewKeyFrame
     src/Tracking.cc:1142-1226: depth-sorted, create while depth<ThDepth or
-    count<100)."""
+    count<100). vocab_pack = (centers, children, leaf_word) of the packed
+    vocabulary tree: when given, the keyframe's word ids are computed here
+    (reference ComputeBoW at keyframe creation, src/LocalMapping.cc:145)
+    and stored for the direct-index matcher gates."""
     cam = cfg.camera
+    kp_words = None
+    if vocab_pack is not None:
+        from my_orb_slam2_tpu.ops.bow import _tree_words
+
+        kp_words = _tree_words(frame.desc, *vocab_pack, vocab_depth)
     state, kf_id = ms.insert_keyframe(
         state,
         Tcw,
@@ -526,6 +539,7 @@ def insert_keyframe_with_points(
         frame.valid,
         cur_mp,
         obs_budget=cfg.capacity.obs_budget,
+        kp_words=kp_words,
     )
     if cam.bf > 0:
         # Candidates: valid kps with depth, no map point yet.
@@ -722,6 +736,11 @@ class Tracker:
         self.trajectory = []
         self.kf_counter = 0
         self.kf_capacity_refusals = 0  # NeedNewKeyFrame hits the KF cap
+        # Packed vocabulary tables (centers, children, leaf_word) + depth:
+        # wired by SlamSystem so keyframe insertion can store word ids for
+        # the direct-index matcher gates; None = no gating.
+        self.vocab_pack = None
+        self.vocab_depth = 0
         self.only_tracking = False  # localization mode (no KF insertion)
         self.mb_vo = False  # VO mode: few map matches in localization mode
         self.needs_reset = False  # lost-near-init auto-reset signal
@@ -949,6 +968,7 @@ class Tracker:
             self.map, kf_id = insert_keyframe_with_points(
                 self.cfg, self.map, frame, Tcw_new, cur_mp,
                 np.int32(fid), np.float32(ts),
+                vocab_pack=self.vocab_pack, vocab_depth=self.vocab_depth,
             )
             self.n_kf = kf_slot + 1
             self.last_kf_frame_id = fid

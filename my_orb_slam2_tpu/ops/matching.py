@@ -90,6 +90,22 @@ def rotation_consistency(dangle, ok, histo_length: int = HISTO_LENGTH, keep_top:
     return ok & in_top
 
 
+def word_bucket_mask(words1, words2, bucket_div: int):
+    """Direct-index gate (DBoW2 FeatureVector analog, reference
+    src/ORBmatcher.cc:702-877 joins matches per vocabulary node at a fixed
+    level): candidates must share the vocabulary node `word // bucket_div`
+    (= the ancestor bucket_div==k^levels_up levels above the leaves of the
+    packed k-ary tree). Entries with word < 0 (no vocabulary at insertion,
+    e.g. monocular-init keyframes) stay unrestricted.
+
+    Returns a (N1, N2) bool mask.
+    """
+    b1 = jnp.where(words1 >= 0, words1 // bucket_div, -1)
+    b2 = jnp.where(words2 >= 0, words2 // bucket_div, -1)
+    same = b1[:, None] == b2[None, :]
+    return same | (b1 < 0)[:, None] | (b2 < 0)[None, :]
+
+
 # ---------------------------------------------------------------------------
 # Assembled search variants
 # ---------------------------------------------------------------------------
@@ -169,6 +185,9 @@ def search_brute(
     max_dist: float = TH_LOW,
     ratio: float = 0.7,
     check_rotation: bool = True,
+    words1=None,
+    words2=None,
+    bucket_div: int = 0,
 ):
     """Descriptor-only matching between two feature sets.
 
@@ -186,6 +205,8 @@ def search_brute(
     """
     dist = hamming_distance(desc1, desc2).astype(jnp.float32)
     mask = valid1[:, None] & valid2[None, :]
+    if bucket_div and words1 is not None and words2 is not None:
+        mask = mask & word_bucket_mask(words1, words2, bucket_div)
     idx, best, second = masked_best2(dist, mask)
     ok = (best <= max_dist) & ratio_test(best, second, ratio) & valid1
     if check_rotation and angle1 is not None and angle2 is not None:
@@ -251,6 +272,9 @@ def search_for_triangulation(
     sigma2_level2,
     max_dist: float = TH_LOW,
     check_rotation: bool = False,
+    words1=None,
+    words2=None,
+    bucket_div: int = 0,
 ):
     """Epipolar-constrained matching between two keyframes for new-point
     triangulation (reference SearchForTriangulation, src/ORBmatcher.cc:702):
@@ -284,6 +308,8 @@ def search_for_triangulation(
     scale2 = jnp.power(1.2, kp2_octave.astype(jnp.float32))
     far_from_epipole = dist_e2[None, :] >= 100.0 * scale2[None, :]
     mask = mask & (~mono1 | far_from_epipole)
+    if bucket_div and words1 is not None and words2 is not None:
+        mask = mask & word_bucket_mask(words1, words2, bucket_div)
 
     dist = hamming_distance(desc1, desc2).astype(jnp.float32)
     idx, best, second = masked_best2(dist, mask)

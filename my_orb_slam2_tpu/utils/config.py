@@ -102,6 +102,14 @@ class MatcherConfig:
     histo_length: int = 30  # rotation-consistency histogram bins
     nn_ratio_tracking: float = 0.9  # SearchByProjection local-map ratio
     nn_ratio_bow: float = 0.7
+    # Word-bucket gating — the direct-index (DBoW2 FeatureVector) analog:
+    # candidate pairs in SearchForTriangulation and the loop BoW join must
+    # share the vocabulary node `levels_up` levels above the leaves
+    # (reference joins per node at L-4 of the 6-level ORBvoc,
+    # src/ORBmatcher.cc:702-877; for the packed k-ary tree the node id is
+    # simply word // k^levels_up). 0 disables (no vocabulary wired, or LSH
+    # fallback). SlamSystem sets this from its vocabulary at construction.
+    bow_gate_div: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,6 +24,7 @@ def run_one(seed: int, n_frames: int):
     from my_orb_slam2_tpu.models.system import SlamSystem
     from my_orb_slam2_tpu.models.tracking import TrackingState
 
+    import dataclasses
     import os
 
     cfg = SlamConfig(
@@ -40,6 +41,15 @@ def run_one(seed: int, n_frames: int):
         ),
         tracking=TrackingConfig(min_stereo_init_points=300, max_frames_between_kf=10),
     )
+    # Perf-ablation knobs (fps/ATE tradeoffs measured on the same harness).
+    i1 = int(os.environ.get("SLAM_BA_ITERS1", "0"))
+    i2 = int(os.environ.get("SLAM_BA_ITERS2", "0"))
+    if i1 or i2:
+        cfg = dataclasses.replace(cfg, mapping=dataclasses.replace(
+            cfg.mapping,
+            local_ba_iters1=i1 or cfg.mapping.local_ba_iters1,
+            local_ba_iters2=i2 or cfg.mapping.local_ba_iters2,
+        ))
     CAP = 2048
     world = SyntheticWorld(
         cfg, n_landmarks=120000, seed=seed, extent=(25.0, 8.0, 1200.0),
@@ -49,7 +59,7 @@ def run_one(seed: int, n_frames: int):
     frames = [world.observe(T, CAP, seed=10_000 + 97 * seed + i)[0]
               for i, T in enumerate(poses)]
     system = SlamSystem(cfg, use_images=False, capacity=CAP, pipeline_depth=5)
-    system.local_mapper.full_every = 4
+    system.local_mapper.full_every = int(os.environ.get("SLAM_FULL_EVERY", "4"))
     mapper = system.local_mapper
     t_start, warm = None, 0
     lost = 0

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--corpus", default="", help="pre-rendered image stack "
+                    "(.npy from tools/render_corpus.py); extraction still "
+                    "runs through OUR front-end on the device")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -53,17 +56,30 @@ def main():
 
     descs = []
     t0 = time.time()
-    n_worlds = max(args.frames // 12, 1)
-    for w in range(n_worlds):
-        world = make_world(seed=100 + w)
-        for i in range(min(12, args.frames - w * 12)):
-            img = render_frame(world, cfg.camera, H, W, view=i)
-            frame = factory.build_mono(img)
+    if args.corpus:
+        imgs = np.load(args.corpus, mmap_mode="r")
+        n_imgs = imgs.shape[0]
+        for i in range(n_imgs):
+            frame = factory.build_mono(np.asarray(imgs[i]))
             d = np.asarray(frame.desc)[np.asarray(frame.valid)]
             descs.append(d)
+            if (i + 1) % 200 == 0:
+                print(f"  extracted {i + 1}/{n_imgs} ({time.time()-t0:.0f}s)",
+                      flush=True)
+        src = f"{n_imgs} pre-rendered frames ({args.corpus})"
+    else:
+        n_worlds = max(args.frames // 12, 1)
+        for w in range(n_worlds):
+            world = make_world(seed=100 + w)
+            for i in range(min(12, args.frames - w * 12)):
+                img = render_frame(world, cfg.camera, H, W, view=i)
+                frame = factory.build_mono(img)
+                d = np.asarray(frame.desc)[np.asarray(frame.valid)]
+                descs.append(d)
+        src = f"{args.frames} rendered frames across {n_worlds} worlds"
     corpus = np.concatenate(descs, axis=0)
-    print(f"corpus: {corpus.shape[0]} descriptors from {args.frames} rendered "
-          f"frames across {n_worlds} worlds ({time.time()-t0:.1f}s)")
+    print(f"corpus: {corpus.shape[0]} descriptors from {src} "
+          f"({time.time()-t0:.1f}s)")
 
     t0 = time.time()
     voc = train_tree_vocabulary(

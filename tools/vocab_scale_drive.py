@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--worlds", type=int, default=40)
     ap.add_argument("--views", type=int, default=26)
     ap.add_argument("--json", default="VOCAB_SCALE_r03.json")
+    ap.add_argument("--asset", default="", help="packed vocab npz (default: "
+                    "the shipped asset)")
     args = ap.parse_args()
 
     from tests.test_vocab_rendered import (
@@ -34,7 +36,7 @@ def main():
     )
     from my_orb_slam2_tpu.models.frame import FrameFactory
 
-    voc = vocab_io.load_packed(ASSET)
+    voc = vocab_io.load_packed(args.asset or ASSET)
     H, W = 240, 320
     cfg = SlamConfig(
         sensor=Sensor.MONOCULAR,
