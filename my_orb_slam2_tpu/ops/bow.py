@@ -125,8 +125,12 @@ def train_tree_vocabulary(desc_corpus: np.ndarray, k: int = 8, depth: int = 3,
         jax.lax.bitcast_convert_type(desc, jnp.uint8).reshape(N, 32), axis=1
     ).astype(jnp.float32)  # (N, 256)
 
+    # desc/bits are ARGUMENTS, not closure captures: captured arrays embed
+    # as constants in the serialized HLO, and a 1M-descriptor corpus (1+ GB
+    # of unpacked bits) exceeds the remote-compile transport's request
+    # limit (HTTP 413) besides bloating every recompile.
     @functools.partial(jax.jit, static_argnames=("n_groups",))
-    def kmedians_level(group, centers, n_groups):
+    def kmedians_level(desc, bits, group, centers, n_groups):
         """One k-medians iteration for all groups at once.
 
         group: (N,) i32 group id of each descriptor (node at this level).
@@ -169,7 +173,7 @@ def train_tree_vocabulary(desc_corpus: np.ndarray, k: int = 8, depth: int = 3,
         centers = jnp.asarray(init)
         for _ in range(iters):
             assign, centers = kmedians_level(
-                jnp.asarray(group), centers, n_groups
+                desc, bits, jnp.asarray(group), centers, n_groups
             )
         assign = np.asarray(assign)
         level_centers.append(np.asarray(centers))
