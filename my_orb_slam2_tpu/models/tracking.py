@@ -757,6 +757,7 @@ class Tracker:
         self.pipeline_depth = 2
         self._pending = []  # FIFO of (frame, ts, frame_id, cur_mp_dev, packed_dev)
         self._anchor_mode = False  # pipelined temporal-VO anchors (hysteresis)
+        self._in_retry = False  # guard: one stale-dispatch retry, no recursion
 
     # -- initialization ----------------------------------------------------
 
@@ -899,7 +900,32 @@ class Tracker:
         reading trajectory/state that must reflect every tracked frame."""
         while self._pending and self.state == TrackingState.OK:
             self._resolve_one()
+        # Unresolvable leftovers (state left OK): still give each frame a
+        # trajectory row so exports cover the whole sequence.
+        for (_f2, ts2, fid2, _c2, _p2) in self._pending:
+            self._log_pose(ts2, frame_id=fid2, lost_override=True)
         self._pending.clear()
+
+    def _dispatch_retry(self, frame: FrameData, timestamp, fid) -> dict:
+        """Re-dispatch a frame whose stale pipelined resolve failed the
+        lost check, now against the post-epilogue (fresh) map, and resolve
+        it synchronously. The pose chain was rebased on the last accepted
+        pose (reset_motion), so the fused kernel's reference-keyframe
+        fallback drives the search (no velocity prior survives a rebase)."""
+        min_obs = 2 if self.n_kf <= 2 else 3
+        self.map, cur_mp, packed_dev, Tcw_dev = track_frame(
+            self.cfg, self.map, frame,
+            self.last_frame.uv, self.last_mp, self.last_frame.valid,
+            self.last_frame.octave,
+            self._chain_Tcw, np.eye(4, dtype=np.float32), False,
+            np.int32(self.ref_kf), np.int32(min_obs),
+        )
+        self._chain_prev = self._chain_Tcw
+        self._chain_Tcw = Tcw_dev
+        self.last_frame = frame
+        self.last_mp = cur_mp
+        self._pending.append((frame, timestamp, fid, cur_mp, packed_dev))
+        return self._resolve_one()
 
     def _resolve_one(self) -> dict:
         """Consume the oldest in-flight frame's readback and run the
@@ -936,6 +962,36 @@ class Tracker:
             else self.cfg.tracking.min_localmap_inliers
         )
         lost_now = self._lost_check(stats, stage1_inl, n_inliers, min_inl, info)
+        if lost_now and self.pipelined and not self._in_retry:
+            # Stale-dispatch second chance: this frame was dispatched
+            # against a map up to pipeline_depth keyframes old; the
+            # intervening resolves have since inserted those keyframes and
+            # spawned their points. The reference never fails on a stale
+            # map (Tracking runs synchronously against the live one,
+            # src/Tracking.cc:300-360), so before declaring LOST, re-track
+            # the SAME frame once against the CURRENT map from the last
+            # accepted pose (one synchronous dispatch — rare, so the RTT
+            # doesn't affect steady-state throughput). Measured on the
+            # KITTI-format driver E2E: the stale resolve dips to ~27
+            # local-map inliers at a sharp feature-density drop while the
+            # fresh-map retry holds >100 — without the retry the pipelined
+            # driver goes LOST mid-sequence where the sync path survives.
+            dropped = list(self._pending)
+            self._pending.clear()
+            self.reset_motion()
+            self._in_retry = True
+            try:
+                info = self._dispatch_retry(frame, ts, fid)
+            finally:
+                self._in_retry = False
+            # The cleared in-flight frames were chained off the rejected
+            # pose and are never re-tracked: log them (as lost, at the
+            # rebased pose) so every frame has a trajectory row — the
+            # reference likewise records every frame, flagging untracked
+            # ones (mlbLost, src/Tracking.cc:334-357).
+            for (_f2, ts2, fid2, _c2, _p2) in dropped:
+                self._log_pose(ts2, frame_id=fid2, lost_override=True)
+            return info
         if lost_now:
             self.state = TrackingState.LOST
             # Lost soon after initialization: the map is unreliable — signal
@@ -944,10 +1000,13 @@ class Tracker:
                 self.needs_reset = True
             # Later in-flight frames chained off a lost pose: discard them
             # and rebase the dispatch chain on the last good resolved pose.
+            dropped = list(self._pending)
             self._pending.clear()
             self.reset_motion()
             info["state"] = self.state
             self._log_pose(ts, frame_id=fid)
+            for (_f2, ts2, fid2, _c2, _p2) in dropped:
+                self._log_pose(ts2, frame_id=fid2, lost_override=True)
             info["Tcw"] = self.Tcw.copy()
             return info
 
@@ -1044,8 +1103,12 @@ class Tracker:
             return False
         return want
 
-    def _log_pose(self, timestamp: float, frame_id=None):
-        lost = self.state != TrackingState.OK
+    def _log_pose(self, timestamp: float, frame_id=None, lost_override=None):
+        lost = (
+            self.state != TrackingState.OK
+            if lost_override is None
+            else lost_override
+        )
         T_ref = getattr(self, "_ref_pose_host", None)
         if T_ref is None:
             T_ref = self.Tcw  # first frames: ref == self
