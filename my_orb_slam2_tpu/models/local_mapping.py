@@ -1101,13 +1101,14 @@ def _refresh_descriptors_dense(state: ms.MapState, pt_ids, ok_pt):
     MP = state.mp_pos.shape[0]
     KF, N = state.kf_mp.shape
     ptc = jnp.clip(pt_ids, 0, MP - 1)
-    # First 16 observer entries only: the min-median-Hamming representative
-    # is stable well before 16 samples, and the pairwise (P, K, K) matrix
-    # is quadratic in K (K=32 rows quadrupled this stage's cost for no
-    # measurable descriptor change).
-    K_DESC = min(16, state.mp_obs_kf.shape[1])
-    e_kf = state.mp_obs_kf[ptc, :K_DESC]  # (P, K_DESC)
-    e_slot = state.mp_obs_slot[ptc, :K_DESC]
+    # Full observer rows. Observation rows are NOT compacted: obs_remove
+    # leaves INVALID holes in place and obs_add fills the first free slot,
+    # so any fixed prefix subset (a round-4 attempt used [:16]) drops real
+    # observers arbitrarily and deterministically regressed KITTI ATE
+    # 0.11 -> 3.39 m. Reference computes the representative over ALL
+    # observations (src/MapPoint.cc:252-318).
+    e_kf = state.mp_obs_kf[ptc]  # (P, K)
+    e_slot = state.mp_obs_slot[ptc]
     e_ok = ok_pt[:, None] & (e_kf >= 0)
     desc = state.kf_desc[
         jnp.clip(e_kf, 0, KF - 1), jnp.clip(e_slot, 0, N - 1)
@@ -1268,12 +1269,11 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
                 state.kf_depth[k] < cfg.camera.close_depth
             )
         pc = jnp.clip(row, 0, MP - 1)
-        # First 16 observers suffice to find >= 3 redundant same-or-finer
-        # observations (conservative: missing later entries can only delay
-        # a cull by one pass, never cause a wrong one).
-        K_CULL = min(16, state.mp_obs_kf.shape[1])
-        orows_kf = state.mp_obs_kf[pc, :K_CULL]  # (N, K_CULL)
-        orows_slot = state.mp_obs_slot[pc, :K_CULL]
+        # Full observer rows (see _refresh_descriptors_dense: rows have
+        # holes, so prefix subsets drop real observers). Reference counts
+        # redundancy over ALL observations (src/LocalMapping.cc:708-772).
+        orows_kf = state.mp_obs_kf[pc]  # (N, K)
+        orows_slot = state.mp_obs_slot[pc]
         e = ok[:, None] & (orows_kf >= 0) & (orows_kf != k)
         oct_o = state.kf_octave[
             jnp.clip(orows_kf, 0, KF - 1), jnp.clip(orows_slot, 0, N - 1)
