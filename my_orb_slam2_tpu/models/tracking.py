@@ -900,8 +900,10 @@ class Tracker:
         reading trajectory/state that must reflect every tracked frame."""
         while self._pending and self.state == TrackingState.OK:
             self._resolve_one()
-        # Unresolvable leftovers (state left OK): still give each frame a
-        # trajectory row so exports cover the whole sequence.
+        # Leftovers can only remain when the state is no longer OK (e.g.
+        # flush called while LOST — the lost/retry paths clear pending
+        # themselves): still give each frame a trajectory row so exports
+        # cover the whole sequence.
         for (_f2, ts2, fid2, _c2, _p2) in self._pending:
             self._log_pose(ts2, frame_id=fid2, lost_override=True)
         self._pending.clear()
@@ -913,6 +915,13 @@ class Tracker:
         pose (reset_motion), so the fused kernel's reference-keyframe
         fallback drives the search (no velocity prior survives a rebase)."""
         min_obs = 2 if self.n_kf <= 2 else 3
+        # NOTE: the frame is tracked twice on device, so per-point
+        # visible/found counters and the overflow counters accumulate twice
+        # for this one frame (rare path; accepted drift vs the reference's
+        # once-per-frame counts). The last-frame args below are dead:
+        # has_velocity=False forces the reference-keyframe fallback, so the
+        # (newest-dispatch) last_uv/last_mp are never used for matching — a
+        # future change to the motion_ok gate must not resurrect them.
         self.map, cur_mp, packed_dev, Tcw_dev = track_frame(
             self.cfg, self.map, frame,
             self.last_frame.uv, self.last_mp, self.last_frame.valid,
@@ -920,7 +929,12 @@ class Tracker:
             self._chain_Tcw, np.eye(4, dtype=np.float32), False,
             np.int32(self.ref_kf), np.int32(min_obs),
         )
-        self._chain_prev = self._chain_Tcw
+        # No velocity prior survives a rebase: the frames between the last
+        # accepted pose and this retry were dropped, so a one-frame
+        # velocity from here would under-extrapolate by ~pipeline_depth
+        # intervals. Leave the next dispatch on the ref-KF fallback
+        # (consistent with reset_motion).
+        self._chain_prev = None
         self._chain_Tcw = Tcw_dev
         self.last_frame = frame
         self.last_mp = cur_mp
@@ -962,7 +976,14 @@ class Tracker:
             else self.cfg.tracking.min_localmap_inliers
         )
         lost_now = self._lost_check(stats, stage1_inl, n_inliers, min_inl, info)
-        if lost_now and self.pipelined and not self._in_retry:
+        # Retry only applies outside localization mode: with only_tracking
+        # no keyframes are inserted, so the "stale map" premise is absent
+        # and _dispatch_retry's loc_mode=False dispatch would drop the
+        # temporal-VO anchors loc-mode tracking relies on.
+        if (
+            lost_now and self.pipelined and not self._in_retry
+            and not self.only_tracking
+        ):
             # Stale-dispatch second chance: this frame was dispatched
             # against a map up to pipeline_depth keyframes old; the
             # intervening resolves have since inserted those keyframes and
