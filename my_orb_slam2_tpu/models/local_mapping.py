@@ -1182,10 +1182,29 @@ def writeback_local_ba_dense(
     state = ms.update_point_geometry_ids(
         state, pt_ids, ok_pt, cfg.orb.scale_factor, cfg.orb.n_levels
     )
-    refresh_rows = jnp.where(aux["cam_ok"], aux["cam_ids"], -1)
-    if "extra_refresh" in aux:
-        refresh_rows = jnp.concatenate([refresh_rows, aux["extra_refresh"]])
-    state = ms.refresh_covisibility(state, refresh_rows)
+    # Covisibility: BA pose updates do not change shared-point counts, so
+    # only the dropped outlier observations (few hundred per pass) carry
+    # covis deltas — applied exactly, entry by entry, instead of recounting
+    # every window row (a 52-row recount was ~21 ms/pass at capacity, ~25%
+    # of the whole full pass). The new keyframe's own row is still
+    # recounted, mirroring the reference's UpdateConnections-on-current-KF
+    # (src/LocalMapping.cc:604-608) — other rows drift until their own next
+    # update, exactly as the reference's do.
+    P, K_BA = drop.shape
+    Emax = P * K_BA
+    D = 2048
+    dids = jnp.nonzero(drop.reshape(-1), size=D, fill_value=Emax)[0]
+    d_ok = dids < Emax
+    dc = jnp.clip(dids, 0, Emax - 1)
+    d_pid = jnp.take(rowi.reshape(-1), dc)
+    d_kf = jnp.take(aux["e_kf"].reshape(-1), dc)
+    state = ms.covis_sub_removed_obs(state, d_pid, d_kf, d_ok)
+    state = state._replace(
+        shed_work=state.shed_work
+        + jnp.maximum(jnp.sum(drop, dtype=jnp.int32) - D, 0)
+    )
+    # cam_ids[0] is kf_id (extract pins it with an infinite weight).
+    state = ms.refresh_covisibility(state, aux["cam_ids"][:1])
     state = _refresh_descriptors_dense(state, pt_ids, ok_pt)
     return state
 
@@ -1257,38 +1276,6 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
     cand_mask = (state.covis[kf_id] > 0) & state.kf_valid
     cand_mask = cand_mask.at[0].set(False).at[kf_id].set(False)
 
-    def redundancy(k):
-        """A keyframe is redundant if >=90% of its (close) tracked points
-        have >=3 OTHER observers at the same-or-finer octave — counted
-        straight off each point's observer list (O(N x K))."""
-        row = state.kf_mp[k]
-        ok = (row >= 0) & state.kf_kp_valid[k]
-        # stereo/RGB-D only counts close points (reference :728-733)
-        if cfg.camera.bf > 0:
-            ok = ok & (state.kf_depth[k] > 0) & (
-                state.kf_depth[k] < cfg.camera.close_depth
-            )
-        pc = jnp.clip(row, 0, MP - 1)
-        # Full observer rows (see _refresh_descriptors_dense: rows have
-        # holes, so prefix subsets drop real observers). Reference counts
-        # redundancy over ALL observations (src/LocalMapping.cc:708-772).
-        orows_kf = state.mp_obs_kf[pc]  # (N, K)
-        orows_slot = state.mp_obs_slot[pc]
-        e = ok[:, None] & (orows_kf >= 0) & (orows_kf != k)
-        oct_o = state.kf_octave[
-            jnp.clip(orows_kf, 0, KF - 1), jnp.clip(orows_slot, 0, N - 1)
-        ]
-        own = state.kf_octave[k]
-        fine = e & (oct_o <= own[:, None] + 1)
-        n_fine = jnp.sum(fine, axis=1)
-        redundant = ok & (n_fine >= cfg.mapping.kf_cull_min_obs)
-        n_ok = jnp.sum(ok)
-        return jnp.where(
-            n_ok > 0,
-            jnp.sum(redundant) >= cfg.mapping.kf_cull_redundancy * n_ok,
-            False,
-        )
-
     # Only the covisible neighbors are candidates (reference iterates
     # GetVectorCovisibleKeyFrames, src/LocalMapping.cc:712) — evaluate the
     # redundancy test on the top-K of those.
@@ -1299,7 +1286,67 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
     MAXCAND = min(16, KF)
     cand_w = jnp.where(cand_mask, state.covis[kf_id], 0)
     top_w, top_ids = jax.lax.top_k(cand_w, MAXCAND)
-    red_top = jax.vmap(redundancy)(top_ids) & (top_w > 0)
+
+    # Redundancy: a keyframe is redundant if >=90% of its (close) tracked
+    # points have >=3 OTHER observers at the same-or-finer octave
+    # (reference src/LocalMapping.cc:708-772, over ALL observations — see
+    # _refresh_descriptors_dense: observer rows have holes, so prefix
+    # subsets are wrong). Counted via a per-point cumulative octave
+    # histogram over the UNION of the candidates' points: candidates share
+    # most of their points, so one (U, K) observer-octave gather replaces
+    # MAXCAND per-candidate (N, K) gathers (~4x less gather volume — the
+    # octave gather was the dominant cull cost at capacity). For a point p
+    # with octave `own` in candidate k: k itself observes p at own <= own+1,
+    # so #other same-or-finer observers = c8[p, min(own+1, L-1)] - 1,
+    # exactly the reference count.
+    rows = jnp.take(state.kf_mp, top_ids, axis=0)  # (MAXCAND, N)
+    rows_ok = (rows >= 0) & jnp.take(state.kf_kp_valid, top_ids, axis=0)
+    rows_ok = rows_ok & (top_w > 0)[:, None]
+    # stereo/RGB-D only counts close points (reference :728-733)
+    if cfg.camera.bf > 0:
+        depth = jnp.take(state.kf_depth, top_ids, axis=0)
+        rows_ok = rows_ok & (depth > 0) & (depth < cfg.camera.close_depth)
+    U = min(8192, MP)
+    in_union = jnp.zeros((MP + 1,), bool).at[
+        jnp.where(rows_ok, rows, MP).reshape(-1)
+    ].set(True)[:MP]
+    union_ids = jnp.nonzero(in_union, size=U, fill_value=MP)[0]  # (U,)
+    u_ok = union_ids < MP
+    uc = jnp.clip(union_ids, 0, MP - 1)
+    o_kf = state.mp_obs_kf[uc]  # (U, K)
+    o_slot = state.mp_obs_slot[uc]
+    o_ok = u_ok[:, None] & (o_kf >= 0)
+    o_oct = state.kf_octave[
+        jnp.clip(o_kf, 0, KF - 1), jnp.clip(o_slot, 0, N - 1)
+    ]
+    hist = jnp.zeros((U, L), jnp.int32).at[
+        jnp.broadcast_to(jnp.arange(U, dtype=jnp.int32)[:, None], o_kf.shape),
+        jnp.clip(o_oct, 0, L - 1),
+    ].add(jnp.where(o_ok, 1, 0))
+    c8 = jnp.cumsum(hist, axis=1)  # (U, L): observers with octave <= l
+    u_pos = jnp.full((MP + 1,), U, jnp.int32).at[
+        jnp.where(u_ok, union_ids, MP)
+    ].set(jnp.arange(U, dtype=jnp.int32), mode="drop")[:MP]
+    # Points past the U bound map to a zero histogram row -> n_fine = -1 ->
+    # never redundant (conservative: that cull is skipped, retried on a
+    # later pass); the overflow is load-shedding, counted as such.
+    c8_pad = jnp.concatenate([c8, jnp.zeros((1, L), jnp.int32)], axis=0)
+    pos = jnp.take(u_pos, jnp.clip(rows, 0, MP - 1))  # (MAXCAND, N)
+    own = jnp.take(state.kf_octave, top_ids, axis=0)
+    n_fine = c8_pad[pos, jnp.clip(own + 1, 0, L - 1)] - 1  # (MAXCAND, N)
+    redundant = rows_ok & (n_fine >= cfg.mapping.kf_cull_min_obs)
+    n_ok = jnp.sum(rows_ok, axis=1)
+    red_top = jnp.where(
+        n_ok > 0,
+        jnp.sum(redundant, axis=1) >= cfg.mapping.kf_cull_redundancy * n_ok,
+        False,
+    ) & (top_w > 0)
+    union_over = jnp.sum(in_union, dtype=jnp.int32) - jnp.sum(
+        u_ok, dtype=jnp.int32
+    )
+    state = state._replace(
+        shed_work=state.shed_work + jnp.maximum(union_over, 0)
+    )
     red = jnp.zeros((KF,), bool).at[top_ids].set(red_top)
     culled_mask = red
     # Detach: drop the culled keyframes' observations from the inverted
@@ -1390,9 +1437,6 @@ def full_pass(cfg: SlamConfig, state: ms.MapState, kf_id,
             iters2=cfg.mapping.local_ba_iters2,
             n_free=prob.cam_Tcw.shape[0] // 2,  # extract's free/fixed split
         )
-        # Fold the fuse targets into the writeback's covis refresh (the
-        # fuse itself only refreshed the new keyframe's row).
-        aux = dict(aux, extra_refresh=fuse_tgts)
         state = writeback_local_ba_dense(cfg, state, prob, aux, final_mask)
     if cull:
         state, culled_mask = keyframe_culling(cfg, state, kf_id)

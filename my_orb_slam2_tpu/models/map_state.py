@@ -153,6 +153,14 @@ def rebuild_obs_index(state: MapState) -> MapState:
     tests as the ground truth. Overflowing observations (more than K
     observers for a point) are dropped from kf_mp too so the invariant
     holds.
+
+    Also enforces AT MOST ONE observation per (point, keyframe) pair — the
+    reference's mObservations is a map keyed by KeyFrame*
+    (include/MapPoint.h:45-82), so a second keypoint slot of the same
+    keyframe mapping to the same point is not representable there either.
+    Duplicates are dropped from kf_mp (counted in obs_overflow); every
+    derived-state kernel (covisibility, culling redundancy) relies on this
+    uniqueness instead of paying per-row dedup at refresh time.
     """
     KF, N = state.kf_mp.shape
     MP = state.mp_pos.shape[0]
@@ -162,13 +170,21 @@ def rebuild_obs_index(state: MapState) -> MapState:
     order = jnp.argsort(pid, stable=True)
     sp = pid[order]
     E = KF * N
-    first = jnp.full((MP + 1,), E, jnp.int32).at[sp].min(
-        jnp.arange(E, dtype=jnp.int32)
-    )
-    rank = jnp.arange(E, dtype=jnp.int32) - jnp.take(first, sp)
-    keep = (sp < MP) & (rank < K)
+    lin = jnp.arange(E, dtype=jnp.int32)
+    first = jnp.full((MP + 1,), E, jnp.int32).at[sp].min(lin)
     kf_of = (order // N).astype(jnp.int32)
     slot_of = (order % N).astype(jnp.int32)
+    # The stable pid sort keeps entries within a point group in linear
+    # (kf-major) order, so duplicate (point, kf) pairs are adjacent.
+    dup = jnp.concatenate(
+        [jnp.array([False]), (sp[1:] == sp[:-1]) & (kf_of[1:] == kf_of[:-1])]
+    ) & (sp < MP)
+    kept = ((sp < MP) & ~dup).astype(jnp.int32)
+    cum = jnp.cumsum(kept)  # inclusive
+    cum_first = jnp.take(cum, jnp.clip(jnp.take(first, sp), 0, E - 1))
+    kept_first = jnp.take(kept, jnp.clip(jnp.take(first, sp), 0, E - 1))
+    rank = cum - 1 - (cum_first - kept_first)
+    keep = (kept == 1) & (rank < K)
     tgt = jnp.where(keep, sp, MP)
     mp_obs_kf = jnp.full((MP, K), INVALID, jnp.int32).at[
         tgt, jnp.where(keep, rank, 0)
@@ -176,8 +192,9 @@ def rebuild_obs_index(state: MapState) -> MapState:
     mp_obs_slot = jnp.full((MP, K), INVALID, jnp.int32).at[
         tgt, jnp.where(keep, rank, 0)
     ].set(slot_of, mode="drop")
-    # Overflowed observations: drop from kf_mp to keep the two sides equal.
-    over = (sp < MP) & (rank >= K)
+    # Overflowed observations and duplicate (point, kf) pairs: drop from
+    # kf_mp to keep the two sides equal (and the uniqueness invariant).
+    over = ((sp < MP) & (kept == 1) & (rank >= K)) | dup
     kf_mp = state.kf_mp.reshape(-1).at[
         jnp.where(over, order, E)
     ].set(INVALID, mode="drop").reshape(KF, N)
@@ -341,23 +358,17 @@ def refresh_covisibility(state: MapState, kf_ids: jnp.ndarray) -> MapState:
         & (rows_mp >= 0)
         & jnp.take(state.kf_kp_valid, ids_c, axis=0)
     )
-    # Set semantics per row: a point observed at two keypoint slots of the
-    # same keyframe (possible in arbitrary/test states) counts once.
-    pid_s = jnp.sort(jnp.where(rows_ok, rows_mp, MP), axis=1)  # (B, N)
-    uniq = jnp.concatenate(
-        [jnp.ones_like(pid_s[:, :1], bool), pid_s[:, 1:] != pid_s[:, :-1]], axis=1
-    ) & (pid_s < MP)
-    pc = jnp.clip(pid_s, 0, MP - 1)
+    # Uniqueness invariant (enforced by rebuild_obs_index and preserved by
+    # every mutation path, see module docstring): each (point, keyframe)
+    # pair appears at most once on either side of the index, so neither the
+    # keyframe rows nor the observer lists need set-dedup here. The
+    # previous per-row sort + (B, N, K, K) observer-pair dedup was the
+    # single most expensive fusion of the whole mapper at capacity
+    # (~29 ms/call with a 52-row refresh, ~2.4x the rest of the local-BA
+    # writeback combined).
+    pc = jnp.clip(jnp.where(rows_ok, rows_mp, MP), 0, MP - 1)
     obs_kfs = state.mp_obs_kf[pc]  # (B, N, K)
-    e_ok = uniq[..., None] & (obs_kfs >= 0)
-    # ... and per observer list (a keyframe listed twice for one point —
-    # never true under the pipeline invariant, but arbitrary states must
-    # still produce symmetric set-semantics weights).
-    K = obs_kfs.shape[-1]
-    eq = obs_kfs[..., :, None] == obs_kfs[..., None, :]  # (B, N, K, K')
-    prev = jnp.tril(jnp.ones((K, K), bool), k=-1)  # K' strictly before K
-    has_prev = jnp.any(eq & prev[None, None, :, :], axis=-1)
-    e_ok = e_ok & ~has_prev
+    e_ok = rows_ok[..., None] & (obs_kfs >= 0)
     b_idx = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None, None], obs_kfs.shape
     )
@@ -370,6 +381,44 @@ def refresh_covisibility(state: MapState, kf_ids: jnp.ndarray) -> MapState:
     tgt = jnp.where(ok_id, ids_c, KF)
     covis = state.covis.at[tgt, :].set(rows, mode="drop")
     covis = covis.at[:, tgt].set(rows.T, mode="drop")
+    return state._replace(covis=covis)
+
+
+def covis_sub_removed_obs(
+    state: MapState, pid: jnp.ndarray, kf: jnp.ndarray, mask: jnp.ndarray
+) -> MapState:
+    """Apply exact covisibility decrements for REMOVED observations.
+
+    For each removed observation (point `pid[e]`, observer `kf[e]`): every
+    keyframe kf2 still observing the point shares one point fewer with
+    `kf[e]`, so covis[kf, kf2] and covis[kf2, kf] drop by 1. Call AFTER the
+    observation rows were updated (the removed entry must be gone from the
+    point's row). O(E x K) scatter-subs — replaces full row recounts after
+    local-BA outlier erasure, where only these few entries changed (the
+    reference's analog: UpdateConnections is only re-run on the current
+    keyframe, src/LocalMapping.cc:604-608; other rows drift until their own
+    next update).
+
+    Known approximation: if two observers of the SAME point are removed in
+    one batch, the pair's mutual edge keeps one stale count until either
+    row's next full refresh — same lazy semantics as erase_map_points.
+    """
+    MP = state.mp_pos.shape[0]
+    KF = state.kf_Tcw.shape[0]
+    E = pid.shape[0]
+    ok = mask & (pid >= 0) & (pid < MP) & (kf >= 0) & (kf < KF)
+    pc = jnp.clip(pid, 0, MP - 1)
+    rows_kf = state.mp_obs_kf[pc]  # (E, K)
+    e_ok = ok[:, None] & (rows_kf >= 0) & (rows_kf != kf[:, None])
+    kfc = jnp.clip(kf, 0, KF - 1)
+    a = jnp.where(e_ok, kfc[:, None], KF)
+    b = jnp.where(e_ok, jnp.clip(rows_kf, 0, KF - 1), 0)
+    covis = state.covis.at[a, b].add(-1, mode="drop")
+    covis = covis.at[
+        jnp.where(e_ok, jnp.clip(rows_kf, 0, KF - 1), KF),
+        jnp.where(e_ok, kfc[:, None], 0),
+    ].add(-1, mode="drop")
+    covis = jnp.maximum(covis, 0)
     return state._replace(covis=covis)
 
 

@@ -127,7 +127,7 @@ def main():
     final_mask = ba.classify_outliers_dense(
         prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
     )
-    aux_w = dict(aux, extra_refresh=tgts_a)
+    aux_w = dict(aux)
 
     def t_writeback():
         s2 = lm.writeback_local_ba_dense(
