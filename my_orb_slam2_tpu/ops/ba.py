@@ -460,15 +460,42 @@ def bundle_adjust_dense(
         n_free = C
     Cf = n_free
     P, K = prob.e_mask.shape
+    E = P * K
     D = Cf * 6
-    is_stereo = prob.e_ur >= 0
-    delta = jnp.sqrt(jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO))
+    # --- (P, K) "plane" layout --------------------------------------------
+    # Per-entry tensors with trailing (3,6)/(6,6) block dims tile-pad to the
+    # (8, 128) lane layout on the target chip: the einsum formulation moved
+    # ~2.3 GB per LM step for a ~50 MB problem (XLA cost analysis; 564
+    # MFLOP). Every per-entry quantity below is ONE (P, K) plane — the K=16
+    # lane axis still pads to 128, but a padded elementwise plane op costs
+    # ~3 us, while a (E,) <-> (P, K) reshape is a RELAYOUT (measured: a
+    # flat-(E,)-plane variant spent its time in 780+ relayout copies).
+    # Camera-axis reductions flatten once per stacked group and run as
+    # (rows, E) @ (E, Cf) MXU matmuls; per-point reductions are axis-1 sums.
+    mask_e = prob.e_mask
+    is_stereo_e = prob.e_ur >= 0
+    delta_e = jnp.sqrt(jnp.where(is_stereo_e, CHI2_STEREO, CHI2_MONO))
+    inv_sigma2_e = prob.e_inv_sigma2
+    u_meas = prob.e_uv[..., 0]
+    v_meas = prob.e_uv[..., 1]
+    ur_meas = prob.e_ur
     free_cam = (~prob.cam_fixed[:Cf]).astype(jnp.float32)  # (Cf,)
     free_pt = prob.pt_valid.astype(jnp.float32)[:, None]
-    oh = jax.nn.one_hot(jnp.maximum(prob.e_cam, 0), C, dtype=jnp.float32)
-    oh = oh * prob.e_mask[..., None]  # dead entries contribute nothing
-    # Camera-reduction one-hot: free block only.
-    ohf = oh[..., :Cf] * (~prob.cam_fixed)[:Cf][None, None, :].astype(jnp.float32)
+    cam_flat = jnp.maximum(prob.e_cam, 0).reshape(E)
+    # (C, E) one-hot^T: pose fetch over all C; reductions over free block.
+    ohT = (
+        (cam_flat[None, :] == jnp.arange(C, dtype=jnp.int32)[:, None])
+        & mask_e.reshape(E)[None, :]
+    ).astype(jnp.float32)
+    ohfT = ohT[:Cf] * free_cam[:, None]  # (Cf, E)
+
+    def psum(plane):
+        """Per-point reduction of a (P, K) plane -> (P,)."""
+        return plane.sum(axis=1)
+
+    def pbc(col):
+        """Broadcast a (P,) per-point value to a (P, K) plane."""
+        return col[:, None]
 
     def lm_step(_, carry):
         # Damping-feedback LM with ONE residual pass per iteration: the
@@ -476,18 +503,30 @@ def bundle_adjust_dense(
         # build the normal equations, and lambda adapts from the PREVIOUS
         # iteration's cost instead of a separate post-step evaluation
         # (nonmonotonic accept; a worse step inflates lambda, and the guard
-        # below rolls the parameters back). Per-kernel dispatch overhead
-        # (~0.1-0.2 ms on the target chip) dominates this loop, so the
-        # block builds are fused: one stacked (9x9) Gram per entry and one
-        # one-hot contraction for ALL camera-axis reductions.
+        # below rolls the parameters back).
         cam_Tcw, pt_pos, cam_bak, pt_bak, cost_prev, lam = carry
-        r, J_cam, J_pt, z = _dense_residuals(
-            cam_Tcw, pt_pos, prob, oh, fx, fy, cx, cy, bf
-        )
-        c2 = _dense_chi2(r, prob.e_inv_sigma2, is_stereo)
+
+        # Per-entry camera rows via one (12, C) @ (C, E) matmul.
+        Tf = cam_Tcw[:, :3, :4].reshape(C, 12)
+        Te = (Tf.T @ ohT).reshape(12, P, K)
+        # rows: R00..R02 t0 R10..R12 t1 R20..R22 t2
+        px, py, pz = (pbc(pt_pos[:, i]) for i in range(3))
+        x = Te[0] * px + Te[1] * py + Te[2] * pz + Te[3]
+        y = Te[4] * px + Te[5] * py + Te[6] * pz + Te[7]
+        z = Te[8] * px + Te[9] * py + Te[10] * pz + Te[11]
+        z_safe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+        iz = 1.0 / z_safe
+        iz2 = iz * iz
+        ru = fx * x * iz + cx - u_meas
+        rv = fy * y * iz + cy - v_meas
+        rr = fx * x * iz + cx - bf * iz - ur_meas
+        r3 = (ru, rv, rr)
+
+        c2 = (ru * ru + rv * rv + jnp.where(is_stereo_e, rr * rr, 0.0)) * inv_sigma2_e
         e = jnp.sqrt(jnp.maximum(c2, 1e-12))
-        rho = jnp.where(use_huber & (e > delta), 2.0 * delta * e - delta * delta, c2)
-        cost_now = jnp.sum(rho * prob.e_mask * (z > 0))
+        hub = use_huber & (e > delta_e)
+        rho = jnp.where(hub, 2.0 * delta_e * e - delta_e * delta_e, c2)
+        cost_now = jnp.sum(rho * mask_e * (z > 0))
         improved = cost_now <= cost_prev
         # Roll back a worsening step: resume from the best-seen parameters.
         # The rollback reuses the (stale) linearization of the rejected
@@ -499,38 +538,115 @@ def bundle_adjust_dense(
         lam = jnp.where(improved, lam * 0.5, lam * 4.0)
         cost_best = jnp.minimum(cost_now, cost_prev)
 
-        w_huber = jnp.where(use_huber & (e > delta), delta / e, 1.0)
-        w = prob.e_inv_sigma2 * w_huber * prob.e_mask * (z > 0)  # (P, K)
-        row_w = jnp.stack([w, w, w * is_stereo], axis=-1)  # (P, K, 3)
-        Jc_w = J_cam * row_w[..., None]
-        Jp_w = J_pt * row_w[..., None]
-        # Separate Gram einsums (NOT one stacked (9,9) Gram + slices: TPU
-        # pads trailing block dims to the (8,128) tile, so every slice or
-        # concatenate of such tensors materializes a ~20x-padded copy —
-        # profiled as the dominant per-step cost).
-        V = jnp.einsum("pkij,pkil->pjl", Jp_w, J_pt)  # (P, 3, 3)
-        b_p = -jnp.einsum("pkij,pki->pj", Jp_w, r)  # (P, 3)
-        W_e = jnp.einsum("pkij,pkil->pkjl", Jc_w, J_pt)  # (P, K, 6, 3)
-        U_e = jnp.einsum("pkij,pkil->pkjl", Jc_w, J_cam)  # (P, K, 6, 6)
-        U = jnp.einsum("pkc,pkjl->cjl", ohf, U_e)  # (Cf, 6, 6)
-        b_c = -jnp.einsum("pkc,pkij,pki->cj", ohf, Jc_w, r)  # (Cf, 6)
+        w_huber = jnp.where(hub, delta_e / e, 1.0)
+        w = inv_sigma2_e * w_huber * mask_e * (z > 0)  # (E,)
+        roww = (w, w, w * is_stereo_e)
 
-        U_d = U + lam * jax.vmap(jnp.diag)(jnp.diagonal(U, axis1=1, axis2=2))
-        V_d = V + lam * jax.vmap(jnp.diag)(jnp.diagonal(V, axis1=1, axis2=2))
+        # Projection Jacobian rows (du, dv, dur) wrt camera point (3 each),
+        # camera Jacobian J_cam[i][j] = J_proj[i] @ [I | -hat(pc)], point
+        # Jacobian J_pt[i][m] = J_proj[i] @ R — all as (E,) planes.
+        zero = jnp.zeros_like(x)
+        Jp_rows = (
+            (fx * iz, zero, -fx * x * iz2),
+            (zero, fy * iz, -fy * y * iz2),
+            (fx * iz, zero, -fx * x * iz2 + bf * iz2),
+        )
+        # hat(pc) columns for the rotational part: d(pc)/d(omega) = -hat(pc)
+        hat = (
+            (zero, -z, y),
+            (z, zero, -x),
+            (-y, x, zero),
+        )
+        Jc = [[None] * 6 for _ in range(3)]
+        Jpt = [[None] * 3 for _ in range(3)]
+        R_pl = [[Te[4 * a + b] for b in range(3)] for a in range(3)]
+        for i in range(3):
+            g = Jp_rows[i]
+            for j in range(3):  # translational block
+                Jc[i][j] = g[j]
+            for j in range(3):  # rotational block: -(g . hat[:, j])
+                Jc[i][3 + j] = -(
+                    g[0] * hat[0][j] + g[1] * hat[1][j] + g[2] * hat[2][j]
+                )
+            for m in range(3):
+                Jpt[i][m] = g[0] * R_pl[0][m] + g[1] * R_pl[1][m] + g[2] * R_pl[2][m]
+
+        # V (P, 3, 3) from 6 unique planes; b_p (P, 3).
+        V_pl = [[None] * 3 for _ in range(3)]
+        for m in range(3):
+            for n in range(m, 3):
+                V_pl[m][n] = psum(
+                    sum(roww[i] * Jpt[i][m] * Jpt[i][n] for i in range(3))
+                )
+        b_p = jnp.stack(
+            [
+                -psum(sum(roww[i] * Jpt[i][m] * r3[i] for i in range(3)))
+                for m in range(3)
+            ],
+            axis=-1,
+        )  # (P, 3)
+        V_d = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        (V_pl[min(m, n)][max(m, n)]) * (1.0 + lam * (m == n))
+                        for n in range(3)
+                    ],
+                    axis=-1,
+                )
+                for m in range(3)
+            ],
+            axis=-2,
+        )  # (P, 3, 3) damped
         V_inv = _inv3x3(V_d)
 
-        # Schur RHS: b~ = b_c - W V^-1 b_p
-        Vb = jnp.einsum("pij,pj->pi", V_inv, b_p)  # (P, 3)
-        w6 = jnp.einsum("pkjl,pl->pkj", W_e, Vb)  # (P, K, 6)
-        b_red = b_c - jnp.einsum("pkc,pkj->cj", ohf, w6)
+        # Camera-side reductions: U (21 planes), b_c (6 planes) in ONE
+        # (27, E) @ (E, Cf) MXU matmul.
+        cam_planes = []
+        for j in range(6):
+            for l in range(j, 6):
+                cam_planes.append(
+                    sum(roww[i] * Jc[i][j] * Jc[i][l] for i in range(3))
+                )
+        for j in range(6):
+            cam_planes.append(-sum(roww[i] * Jc[i][j] * r3[i] for i in range(3)))
+        red = jnp.stack(cam_planes).reshape(27, E) @ ohfT.T  # (27, Cf)
+        triu = [(j, l) for j in range(6) for l in range(j, 6)]
+        U = jnp.zeros((Cf, 6, 6))
+        for idx, (j, l) in enumerate(triu):
+            U = U.at[:, j, l].set(red[idx])
+            if j != l:
+                U = U.at[:, l, j].set(red[idx])
+        b_c = red[21:27].T  # (Cf, 6)
+        U_d = U + lam * jax.vmap(jnp.diag)(jnp.diagonal(U, axis1=1, axis2=2))
 
-        # Schur complement, materialized analytically via two one-hot
-        # contractions + one MXU einsum.
-        G_e = jnp.einsum("pkjl,plm->pkjm", W_e, V_inv)  # (P, K, 6, 3)
-        BC = jnp.einsum("pkc,pkjm->pcjm", ohf, G_e)  # (P, Cf, 6, 3)
-        BW = jnp.einsum("pkc,pkjm->pcjm", ohf, W_e)  # (P, Cf, 6, 3)
+        # W planes (18: j in 6, m in 3) and G = W V^-1 (18 planes).
+        W_pl = [
+            [sum(roww[i] * Jc[i][j] * Jpt[i][m] for i in range(3)) for m in range(3)]
+            for j in range(6)
+        ]
+        Vi_pl = [[pbc(V_inv[:, m, n]) for n in range(3)] for m in range(3)]
+        G_pl = [
+            [sum(W_pl[j][mm] * Vi_pl[mm][m] for mm in range(3)) for m in range(3)]
+            for j in range(6)
+        ]
+
+        # Schur RHS: b~ = b_c - W V^-1 b_p, via 6 planes + one matmul.
+        Vb = jnp.einsum("pmn,pn->pm", V_inv, b_p)  # (P, 3)
+        w6 = jnp.stack(
+            [sum(W_pl[j][m] * pbc(Vb[:, m]) for m in range(3)) for j in range(6)]
+        ).reshape(6, E)
+        b_red = b_c - (w6 @ ohfT.T).T  # (Cf, 6)
+
+        # Schur cross-term: BC/BW as (18, Cf, P) per-point partials, then
+        # one einsum over (m, p).
+        ohf_r = ohfT.reshape(Cf, P, K)
+        W_all = jnp.stack([W_pl[j][m] for j in range(6) for m in range(3)])
+        G_all = jnp.stack([G_pl[j][m] for j in range(6) for m in range(3)])
+        BW = jnp.einsum("cpk,xpk->xcp", ohf_r, W_all).reshape(6, 3, Cf, P)
+        BC = jnp.einsum("cpk,xpk->xcp", ohf_r, G_all).reshape(6, 3, Cf, P)
         with jax.default_matmul_precision("highest"):
-            S = -jnp.einsum("pcjm,pdlm->cjdl", BC, BW)
+            S = -jnp.einsum("jmcp,lmdp->cjdl", BC, BW)
             S = S + jnp.einsum("cjl,cd->cjdl", U_d, jnp.eye(Cf))
             S = S.reshape(D, D)
             # Pin singular rows: fixed cameras and free cameras with no
@@ -544,10 +660,13 @@ def bundle_adjust_dense(
         dx_c = dx_c * free_cam[:, None]
         dx_c = jnp.where(jnp.isfinite(dx_c), dx_c, 0.0)
 
-        # Back-substitute landmarks: dy = V^-1 (b_p - W^T dx)
-        dx_e = jnp.einsum("pkc,cj->pkj", ohf, dx_c)  # (P, K, 6)
-        Wt_dx = jnp.einsum("pkjl,pkj->pl", W_e, dx_e)  # (P, 3)
-        dy = jnp.einsum("pij,pj->pi", V_inv, b_p - Wt_dx) * free_pt
+        # Back-substitute landmarks: dy = V^-1 (b_p - W^T dx).
+        dxe = (dx_c.T @ ohfT).reshape(6, P, K)
+        Wt_dx = jnp.stack(
+            [psum(sum(W_pl[j][m] * dxe[j] for j in range(6))) for m in range(3)],
+            axis=-1,
+        )  # (P, 3)
+        dy = jnp.einsum("pmn,pn->pm", V_inv, b_p - Wt_dx) * free_pt
         dy = jnp.where(jnp.isfinite(dy), dy, 0.0)
 
         cam_upd = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, cam_Tcw[:Cf])
@@ -607,25 +726,19 @@ def local_ba_dense(prob: DenseBAProblem, fx, fy, cx, cy, bf,
                    iters1: int = 5, iters2: int = 10, n_free: int = None):
     """Reference LocalBundleAdjustment schedule on the dense problem
     (src/Optimizer.cc:577-715): iters1 robust steps, outlier demotion,
-    iters2 more, final classification — each LM step its own dispatch (see
-    lm_step_dense). Returns (problem, final e_mask)."""
-    big = jnp.float32(3.4e38)
-
-    def run(prob, n):
-        cam_bak, pt_bak = prob.cam_Tcw, prob.pt_pos
-        cost, lam = big, jnp.float32(1e-4)
-        for _ in range(n + 1):
-            prob, cam_bak, pt_bak, cost, lam = lm_step_dense(
-                prob, cam_bak, pt_bak, cost, lam, fx, fy, cx, cy, bf,
-                n_free=n_free,
-            )
-        # final carry's (cam, pt) is an unevaluated trial; bak holds the
-        # last evaluated-and-accepted parameters
-        return prob._replace(cam_Tcw=cam_bak, pt_pos=pt_bak)
-
-    prob = run(prob, iters1)
+    iters2 more, final classification. Each stage is ONE fused dispatch:
+    with the (P, K)-plane LM step the fused multi-step program runs at
+    ~1.3 ms/step vs ~3.7 standalone (parameters never round-trip HBM
+    between steps), reversing the round-3 finding that long fused programs
+    pessimize — that cost was the tile-padded (P,K,6,6) layouts, not the
+    program length. Returns (problem, final e_mask)."""
+    prob = bundle_adjust_dense(
+        prob, fx, fy, cx, cy, bf, n_iters=iters1, n_free=n_free
+    )
     mask = classify_outliers_dense(prob, fx, fy, cx, cy, bf)
     prob = prob._replace(e_mask=mask)
-    prob = run(prob, iters2)
+    prob = bundle_adjust_dense(
+        prob, fx, fy, cx, cy, bf, n_iters=iters2, n_free=n_free
+    )
     final_mask = classify_outliers_dense(prob, fx, fy, cx, cy, bf)
     return prob, final_mask
