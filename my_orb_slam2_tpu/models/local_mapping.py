@@ -470,13 +470,26 @@ def _fuse_dir_a(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int):
     # search runs under one vmap and the index/count updates collapse into
     # a single ranked multi-append (a point may gain one observation per
     # target; entries are grouped by point and inserted at count+rank).
-    candA = jnp.where(state.kf_mp[kf_id] >= 0, state.kf_mp[kf_id], 0)  # (N,)
-    candA_ok = (
+    row_pid = jnp.where(state.kf_mp[kf_id] >= 0, state.kf_mp[kf_id], 0)  # (N,)
+    row_ok = (
         (state.kf_mp[kf_id] >= 0)
         & state.kf_kp_valid[kf_id]
-        & jnp.take(state.mp_valid, candA)
+        & jnp.take(state.mp_valid, row_pid)
     )
-    src_mask = jnp.zeros((MP,), bool).at[candA].set(candA_ok)
+    src_mask = jnp.zeros((MP,), bool).at[row_pid].set(row_ok)
+    # Compact the source candidates: a keyframe tracks far fewer points
+    # than its N keypoint slots at capacity (~500-900 of 2048), and every
+    # per-target search matrix scales with this axis. Overflow is shed and
+    # retried on later passes (counted).
+    CA = min(1024, N)
+    sel = jnp.nonzero(row_ok, size=CA, fill_value=N)[0]  # (CA,) slot ids
+    candA_ok = sel < N
+    selc = jnp.clip(sel, 0, N - 1)
+    candA = jnp.take(row_pid, selc)  # (CA,) point ids
+    n_src = jnp.sum(row_ok, dtype=jnp.int32)
+    state = state._replace(
+        shed_work=state.shed_work + jnp.maximum(n_src - CA, 0)
+    )
 
     # Compact the candidate points' index rows once so the multi-append's
     # count+rank insert positions are exact.
@@ -501,19 +514,19 @@ def _fuse_dir_a(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int):
 
     # --- batched update phase --------------------------------------------
     T = n_targets
-    tkf_e = jnp.broadcast_to(jnp.maximum(tgt_ids, 0)[:, None], (T, N))  # (T, N)
-    pid_e = jnp.broadcast_to(candA[None, :], (T, N))
-    existing = state.kf_mp[tkf_e, idxA]  # (T, N)
+    tkf_e = jnp.broadcast_to(jnp.maximum(tgt_ids, 0)[:, None], (T, CA))
+    pid_e = jnp.broadcast_to(candA[None, :], (T, CA))
+    existing = state.kf_mp[tkf_e, idxA]  # (T, CA)
     add = okA & (existing < 0)
     inc_e = jnp.where(state.kf_ur[tkf_e, idxA] >= 0, 2, 1)
-    cnt_e = jnp.broadcast_to(cntA[None, :], (T, N))
+    cnt_e = jnp.broadcast_to(cntA[None, :], (T, CA))
     obs_kf, obs_slot, did_f, n_over = ms.obs_add_pairs_multi(
         state.mp_obs_kf, state.mp_obs_slot,
         jnp.where(add, pid_e, INVALID).reshape(-1),
         tkf_e.reshape(-1), idxA.reshape(-1), add.reshape(-1),
         cnt_e.reshape(-1),
     )
-    did = did_f.reshape(T, N)
+    did = did_f.reshape(T, CA)
     # kf_mp rows: matched keypoints are unique per target (one_to_one in
     # the search), so a flat scatter is collision-free.
     kf_mp = state.kf_mp.at[
@@ -1349,48 +1362,56 @@ def keyframe_culling(cfg: SlamConfig, state: ms.MapState, kf_id):
     )
     red = jnp.zeros((KF,), bool).at[top_ids].set(red_top)
     culled_mask = red
-    # Detach: drop the culled keyframes' observations from the inverted
-    # index + counts (exact deltas), invalidate, re-home children to the
-    # culled KF's parent (simplified re-homing vs the reference's greedy
-    # candidate loop, src/KeyFrame.cc:467-559).
-    state = ms.erase_keyframe_observations(state, top_ids, red_top)
-    kf_valid = state.kf_valid & ~red
-    kf_mp = jnp.where(red[:, None], INVALID, state.kf_mp)
-    # EraseObservation cascade (reference MapPoint::EraseObservation,
-    # src/MapPoint.cc: nObs<=2 -> SetBadFlag): points whose observer count
-    # the cull just dropped to <=2 die WITH the keyframe. Without this,
-    # culled keyframes strand zombie points (measured: ~50% of the valid
-    # map at KITTI capacity had ZERO live observers) that keep passing the
-    # frustum check, saturate the local-search candidate cap, and alias
-    # into wrong matches.
-    touched_rows = jnp.where(
-        red_top[:, None] & (jnp.take(state.kf_mp, top_ids, axis=0) >= 0),
-        jnp.take(state.kf_mp, top_ids, axis=0), MP,
-    ).reshape(-1)
-    touched = jnp.zeros((MP + 1,), bool).at[touched_rows].set(True)[:MP]
-    dead = touched & state.mp_valid & (state.mp_n_obs <= 2)
-    state = ms.erase_map_points(state._replace(kf_mp=kf_mp), dead)
-    kf_mp = state.kf_mp
-    parent_of = state.kf_parent
-    # Children of culled keyframes re-home GREEDILY by covisibility weight
-    # (reference KeyFrame::SetBadFlag, src/KeyFrame.cc:467-559 picks the
-    # max-weight candidate per child). Candidates here are all surviving
-    # OLDER keyframes — the age constraint keeps the tree acyclic, which the
-    # reference gets from its parent-candidate bookkeeping; the culled KF's
-    # own parent remains the fallback when no covisible candidate exists.
-    ids = jnp.arange(KF)
-    child_of_culled = (parent_of >= 0) & jnp.take(red, jnp.maximum(parent_of, 0))
-    cand_ok = (ids[None, :] < ids[:, None]) & kf_valid[None, :]
-    w = jnp.where(cand_ok, state.covis, -1)
-    best_parent = jnp.argmax(w, axis=1).astype(jnp.int32)
-    best_w = jnp.max(w, axis=1)
-    grandparent = jnp.take(parent_of, jnp.maximum(parent_of, 0))
-    rehomed = jnp.where(best_w > 0, best_parent, grandparent)
-    new_parent = jnp.where(child_of_culled, rehomed, parent_of)
-    covis = jnp.where(red[:, None] | red[None, :], 0, state.covis)
-    state = state._replace(
-        kf_valid=kf_valid, kf_mp=kf_mp, kf_parent=new_parent, covis=covis,
-    )
+
+    def detach(state):
+        # Detach: drop the culled keyframes' observations from the inverted
+        # index + counts (exact deltas), invalidate, re-home children to the
+        # culled KF's parent (simplified re-homing vs the reference's greedy
+        # candidate loop, src/KeyFrame.cc:467-559).
+        state = ms.erase_keyframe_observations(state, top_ids, red_top)
+        kf_valid = state.kf_valid & ~red
+        kf_mp = jnp.where(red[:, None], INVALID, state.kf_mp)
+        # EraseObservation cascade (reference MapPoint::EraseObservation,
+        # src/MapPoint.cc: nObs<=2 -> SetBadFlag): points whose observer
+        # count the cull just dropped to <=2 die WITH the keyframe. Without
+        # this, culled keyframes strand zombie points (measured: ~50% of
+        # the valid map at KITTI capacity had ZERO live observers) that
+        # keep passing the frustum check, saturate the local-search
+        # candidate cap, and alias into wrong matches.
+        touched_rows = jnp.where(
+            red_top[:, None] & (jnp.take(state.kf_mp, top_ids, axis=0) >= 0),
+            jnp.take(state.kf_mp, top_ids, axis=0), MP,
+        ).reshape(-1)
+        touched = jnp.zeros((MP + 1,), bool).at[touched_rows].set(True)[:MP]
+        dead = touched & state.mp_valid & (state.mp_n_obs <= 2)
+        state = ms.erase_map_points(state._replace(kf_mp=kf_mp), dead)
+        kf_mp = state.kf_mp
+        parent_of = state.kf_parent
+        # Children of culled keyframes re-home GREEDILY by covisibility
+        # weight (reference KeyFrame::SetBadFlag, src/KeyFrame.cc:467-559
+        # picks the max-weight candidate per child). Candidates here are
+        # all surviving OLDER keyframes — the age constraint keeps the tree
+        # acyclic, which the reference gets from its parent-candidate
+        # bookkeeping; the culled KF's own parent remains the fallback when
+        # no covisible candidate exists.
+        ids = jnp.arange(KF)
+        child_of_culled = (parent_of >= 0) & jnp.take(red, jnp.maximum(parent_of, 0))
+        cand_ok = (ids[None, :] < ids[:, None]) & kf_valid[None, :]
+        w = jnp.where(cand_ok, state.covis, -1)
+        best_parent = jnp.argmax(w, axis=1).astype(jnp.int32)
+        best_w = jnp.max(w, axis=1)
+        grandparent = jnp.take(parent_of, jnp.maximum(parent_of, 0))
+        rehomed = jnp.where(best_w > 0, best_parent, grandparent)
+        new_parent = jnp.where(child_of_culled, rehomed, parent_of)
+        covis = jnp.where(red[:, None] | red[None, :], 0, state.covis)
+        return state._replace(
+            kf_valid=kf_valid, kf_mp=kf_mp, kf_parent=new_parent, covis=covis,
+        )
+
+    # Most passes cull NOTHING: the detach machinery (observation erasure,
+    # dead-point cascade with its MP-wide compaction, (KF, KF) re-homing
+    # argmax, covis zeroing) only runs when a keyframe was actually culled.
+    state = jax.lax.cond(jnp.any(red_top), detach, lambda s: s, state)
     return state, culled_mask
 
 

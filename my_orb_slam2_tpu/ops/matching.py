@@ -34,8 +34,13 @@ def masked_best2(dist, mask):
     d = jnp.where(mask, dist, BIG)
     best_idx = jnp.argmin(d, axis=1)
     best = jnp.take_along_axis(d, best_idx[:, None], 1)[:, 0]
-    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(BIG)
-    second = jnp.min(d2, axis=1)
+    # Second-best WITHOUT the row scatter: .at[rows, best].set(BIG) forces a
+    # full copy of the (Q, M) matrix (hundreds of MB at fuse/track shapes);
+    # the where-mask fuses into the reduction and materializes nothing.
+    cols = jnp.arange(d.shape[1], dtype=best_idx.dtype)
+    second = jnp.min(
+        jnp.where(cols[None, :] == best_idx[:, None], BIG, d), axis=1
+    )
     return best_idx, best, second
 
 
