@@ -760,29 +760,35 @@ def erase_map_points(
     Index-based: the killed points' observer lists pinpoint exactly which
     kf_mp slots to clear — O(killed x K) instead of a (KF x N) table scan.
     The kill set is compacted to `max_kill` per call; overflowing kills are
-    deferred (the mask condition re-fires next keyframe).
+    deferred (the mask condition re-fires next keyframe). The whole body
+    (including the MP-wide nonzero compaction) runs under lax.cond — many
+    passes kill nothing.
     """
     MP = state.mp_pos.shape[0]
     KF, N = state.kf_mp.shape
-    ids = jnp.nonzero(kill_mask, size=min(max_kill, MP), fill_value=MP)[0]
-    ok = ids < MP
-    pc = jnp.clip(ids, 0, MP - 1)
-    rows_kf = state.mp_obs_kf[pc]  # (Kl, K)
-    rows_slot = state.mp_obs_slot[pc]
-    e_ok = ok[:, None] & (rows_kf >= 0)
-    kf_mp = state.kf_mp.at[
-        jnp.where(e_ok, rows_kf, KF), jnp.where(e_ok, rows_slot, 0)
-    ].set(INVALID, mode="drop")
-    tgt = jnp.where(ok, ids, MP)
     K = state.mp_obs_kf.shape[1]
-    empty = jnp.full((ids.shape[0], K), INVALID, jnp.int32)
-    return state._replace(
-        mp_valid=state.mp_valid.at[tgt].set(False, mode="drop"),
-        mp_n_obs=state.mp_n_obs.at[tgt].set(0, mode="drop"),
-        mp_obs_kf=state.mp_obs_kf.at[tgt].set(empty, mode="drop"),
-        mp_obs_slot=state.mp_obs_slot.at[tgt].set(empty, mode="drop"),
-        kf_mp=kf_mp,
-    )
+
+    def do_erase(state):
+        ids = jnp.nonzero(kill_mask, size=min(max_kill, MP), fill_value=MP)[0]
+        ok = ids < MP
+        pc = jnp.clip(ids, 0, MP - 1)
+        rows_kf = state.mp_obs_kf[pc]  # (Kl, K)
+        rows_slot = state.mp_obs_slot[pc]
+        e_ok = ok[:, None] & (rows_kf >= 0)
+        kf_mp = state.kf_mp.at[
+            jnp.where(e_ok, rows_kf, KF), jnp.where(e_ok, rows_slot, 0)
+        ].set(INVALID, mode="drop")
+        tgt = jnp.where(ok, ids, MP)
+        empty = jnp.full((ids.shape[0], K), INVALID, jnp.int32)
+        return state._replace(
+            mp_valid=state.mp_valid.at[tgt].set(False, mode="drop"),
+            mp_n_obs=state.mp_n_obs.at[tgt].set(0, mode="drop"),
+            mp_obs_kf=state.mp_obs_kf.at[tgt].set(empty, mode="drop"),
+            mp_obs_slot=state.mp_obs_slot.at[tgt].set(empty, mode="drop"),
+            kf_mp=kf_mp,
+        )
+
+    return jax.lax.cond(jnp.any(kill_mask), do_erase, lambda s: s, state)
 
 
 def erase_keyframe_observations(

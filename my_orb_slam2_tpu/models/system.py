@@ -71,7 +71,9 @@ class _MappingChain:
                     db, kf, vocab.words(st.kf_desc[kf]), st.kf_kp_valid[kf]
                 )
 
-            self._db_add = jax.jit(_add)
+            # Donating db lets XLA update the (KF, n_words) count matrix
+            # row in place instead of copying it per insert.
+            self._db_add = jax.jit(_add, donate_argnums=(0,))
         sys.db = self._db_add(sys.db, state, jnp.int32(kf_id))
         self.n_docs += 1
         if sys.enable_loop_closing and not sys.tracker.only_tracking:

@@ -113,9 +113,26 @@ def pose_optimization(
             # iteration's cost, and a worsening trial rolls back to the
             # backup pose (reusing the stale linearization for one damped
             # step — see ops/ba.py lm_step for the same scheme).
+            #
+            # All per-observation quantities are (N,) PLANES: (N, 3, 6)
+            # Jacobian tensors tile-pad their trailing dims to the (8, 128)
+            # lane layout on the target chip (~18x the logical bytes), and
+            # this body runs 40 unrolled times per pose — the plane form
+            # moves only the logical bytes (see ops/ba.py lm_step for the
+            # measured effect on the dense BA step).
             Tcw, Tcw_bak, cost_prev, lam, it, last_dx = inner
-            r, J, z = _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf)
-            c2 = _chi2(r, inv_sigma2, is_stereo)
+            R = Tcw[:3, :3]
+            t = Tcw[:3, 3]
+            pc = pts_w @ R.T + t  # (N, 3)
+            x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+            z_safe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+            iz = 1.0 / z_safe
+            iz2 = iz * iz
+            ru = fx * x * iz + cx - uv[:, 0]
+            rv = fy * y * iz + cy - uv[:, 1]
+            rr = fx * x * iz + cx - bf * iz - ur
+            r3 = (ru, rv, rr)
+            c2 = (ru * ru + rv * rv + jnp.where(is_stereo, rr * rr, 0.0)) * inv_sigma2
             e = jnp.sqrt(jnp.maximum(c2, 1e-12))
             rho = jnp.where(
                 use_huber & (e > delta_huber),
@@ -131,11 +148,44 @@ def pose_optimization(
             # w = delta/|e| beyond the kink).
             w_huber = jnp.where(use_huber & (e > delta_huber), delta_huber / e, 1.0)
             w = inv_sigma2 * w_huber * mask * inlier * (z > 0)
-            # Zero the stereo row for mono observations.
-            row_w = jnp.stack([w, w, w * is_stereo], axis=1)  # (N, 3)
-            Jw = J * row_w[:, :, None]
-            H = jnp.einsum("nij,nik->jk", Jw, J)
-            b = -jnp.einsum("nij,ni->j", Jw, r)
+            roww = (w, w, w * is_stereo)
+            # J rows as planes: translational cols = projection Jacobian,
+            # rotational cols j = -(g . hat(pc)[:, j]).
+            zero = jnp.zeros_like(x)
+            g_rows = (
+                (fx * iz, zero, -fx * x * iz2),
+                (zero, fy * iz, -fy * y * iz2),
+                (fx * iz, zero, -fx * x * iz2 + bf * iz2),
+            )
+            hat = ((zero, -z, y), (z, zero, -x), (-y, x, zero))
+            J_pl = [[None] * 6 for _ in range(3)]
+            for i in range(3):
+                g = g_rows[i]
+                for j in range(3):
+                    J_pl[i][j] = g[j]
+                for j in range(3):
+                    J_pl[i][3 + j] = -(
+                        g[0] * hat[0][j] + g[1] * hat[1][j] + g[2] * hat[2][j]
+                    )
+            # H (21 upper entries) + b (6): one stacked (27, N) reduction.
+            planes = [
+                sum(roww[i] * J_pl[i][j] * J_pl[i][l] for i in range(3))
+                for j in range(6)
+                for l in range(j, 6)
+            ] + [
+                -sum(roww[i] * J_pl[i][j] * r3[i] for i in range(3))
+                for j in range(6)
+            ]
+            red = jnp.sum(jnp.stack(planes), axis=1)  # (27,)
+            H = jnp.zeros((6, 6))
+            idx = 0
+            for j in range(6):
+                for l in range(j, 6):
+                    H = H.at[j, l].set(red[idx])
+                    if j != l:
+                        H = H.at[l, j].set(red[idx])
+                    idx += 1
+            b = red[21:27]
             H_lm = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6)
             dx = jnp.linalg.solve(H_lm, b)
             T_new = lie.se3_exp(dx) @ Tcw
