@@ -1182,8 +1182,18 @@ def writeback_local_ba_dense(
     mp_obs_slot = state.mp_obs_slot.at[
         jnp.where(drop, rowi, MP), coli
     ].set(INVALID, mode="drop")
+    # Row compaction only for points that actually LOST an entry (the
+    # scatter above left holes there); compacting all window rows cost a
+    # (P, K) gather+sort for rows that are already hole-free.
+    P, K_BA = drop.shape
+    Emax = P * K_BA
+    D = 2048
+    dids = jnp.nonzero(drop.reshape(-1), size=D, fill_value=Emax)[0]
+    d_ok = dids < Emax
+    dc = jnp.clip(dids, 0, Emax - 1)
+    d_pid = jnp.take(rowi.reshape(-1), dc)  # (D,) pids with removed entries
     mp_obs_kf, mp_obs_slot = ms.obs_compact_rows(
-        mp_obs_kf, mp_obs_slot, tgt_pt, ok_pt
+        mp_obs_kf, mp_obs_slot, jnp.where(d_ok, d_pid, MP), d_ok
     )
     dec = jnp.sum(jnp.where(drop, jnp.where(prob.e_ur >= 0, 2, 1), 0), axis=1)
     mp_n_obs = state.mp_n_obs.at[tgt_pt].add(-dec, mode="drop")
@@ -1192,8 +1202,21 @@ def writeback_local_ba_dense(
         kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp, mp_n_obs=mp_n_obs,
         mp_obs_kf=mp_obs_kf, mp_obs_slot=mp_obs_slot,
     )
+    # Derived-state refresh set: the NEW KEYFRAME's row, exactly the
+    # reference's post-fuse refresh (SearchInNeighbors iterates the current
+    # keyframe's matches for UpdateNormalAndDepth +
+    # ComputeDistinctiveDescriptors, src/LocalMapping.cc:584-595). Local BA
+    # itself refreshes nothing in the reference (SetWorldPos only,
+    # src/Optimizer.cc:776-783) — refreshing all 4096 window points here
+    # was over-servicing at 2x the gather volume. cam_ids[0] is kf_id
+    # (extract pins it with an infinite weight).
+    kf_row = jnp.clip(aux["cam_ids"][0], 0, KF - 1)
+    row_pid = state.kf_mp[kf_row]  # (N,)
+    row_has = (row_pid >= 0) & state.kf_kp_valid[kf_row]
+    ref_ids = jnp.where(row_has, row_pid, MP)
+    ref_ok = row_has
     state = ms.update_point_geometry_ids(
-        state, pt_ids, ok_pt, cfg.orb.scale_factor, cfg.orb.n_levels
+        state, ref_ids, ref_ok, cfg.orb.scale_factor, cfg.orb.n_levels
     )
     # Covisibility: BA pose updates do not change shared-point counts, so
     # only the dropped outlier observations (few hundred per pass) carry
@@ -1203,22 +1226,14 @@ def writeback_local_ba_dense(
     # recounted, mirroring the reference's UpdateConnections-on-current-KF
     # (src/LocalMapping.cc:604-608) — other rows drift until their own next
     # update, exactly as the reference's do.
-    P, K_BA = drop.shape
-    Emax = P * K_BA
-    D = 2048
-    dids = jnp.nonzero(drop.reshape(-1), size=D, fill_value=Emax)[0]
-    d_ok = dids < Emax
-    dc = jnp.clip(dids, 0, Emax - 1)
-    d_pid = jnp.take(rowi.reshape(-1), dc)
     d_kf = jnp.take(aux["e_kf"].reshape(-1), dc)
     state = ms.covis_sub_removed_obs(state, d_pid, d_kf, d_ok)
     state = state._replace(
         shed_work=state.shed_work
         + jnp.maximum(jnp.sum(drop, dtype=jnp.int32) - D, 0)
     )
-    # cam_ids[0] is kf_id (extract pins it with an infinite weight).
     state = ms.refresh_covisibility(state, aux["cam_ids"][:1])
-    state = _refresh_descriptors_dense(state, pt_ids, ok_pt)
+    state = _refresh_descriptors_dense(state, ref_ids, ref_ok)
     return state
 
 
