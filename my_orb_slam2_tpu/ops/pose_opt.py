@@ -22,6 +22,17 @@ from my_orb_slam2_tpu.ops import lie
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
 
+# Position of H[j, l] within the packed 21-entry upper-triangular sum list.
+import numpy as _np
+
+_H_IDX = _np.zeros((6, 6), _np.int32)
+_k = 0
+for _j in range(6):
+    for _l in range(_j, 6):
+        _H_IDX[_j, _l] = _k
+        _H_IDX[_l, _j] = _k
+        _k += 1
+
 
 def _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf):
     """Per-observation residual (3,) and Jacobian (3, 6) wrt left-mult xi.
@@ -63,6 +74,44 @@ def _residuals_and_jac(Tcw, pts_w, uv, ur, fx, fy, cx, cy, bf):
     J_pc = jnp.concatenate([I3, -hat_pc], axis=2)  # (N, 3, 6)
     J = J_proj @ J_pc  # (N, 3, 6)
     return r, J, z
+
+
+def _inv3(M):
+    """Closed-form 3x3 inverse (adjugate) — pure elementwise, fuses."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    adj = jnp.array(
+        [
+            [A, -(b * i - c * h), b * f - c * e],
+            [B, a * i - c * g, -(a * f - c * d)],
+            [C, -(a * h - b * g), a * e - b * d],
+        ]
+    )
+    return adj * inv_det
+
+
+def _solve6(H, b):
+    """Solve the damped 6x6 normal system by 3x3 block Schur elimination:
+    jnp.linalg.solve lowers to a serial LU custom-call that cannot fuse —
+    at 40 unrolled LM iterations per pose optimization those calls were the
+    long tail of the tracking dispatch. The block form is pure elementwise
+    math that fuses into the surrounding iteration."""
+    A = H[:3, :3]
+    B = H[:3, 3:]
+    C = H[3:, 3:]
+    b1, b2 = b[:3], b[3:]
+    Ai = _inv3(A)
+    S = C - B.T @ Ai @ B
+    Si = _inv3(S)
+    x2 = Si @ (b2 - B.T @ (Ai @ b1))
+    x1 = Ai @ (b1 - B @ x2)
+    return jnp.concatenate([x1, x2])
 
 
 def _chi2(r, inv_sigma2, is_stereo):
@@ -177,17 +226,10 @@ def pose_optimization(
                 for j in range(6)
             ]
             red = jnp.sum(jnp.stack(planes), axis=1)  # (27,)
-            H = jnp.zeros((6, 6))
-            idx = 0
-            for j in range(6):
-                for l in range(j, 6):
-                    H = H.at[j, l].set(red[idx])
-                    if j != l:
-                        H = H.at[l, j].set(red[idx])
-                    idx += 1
+            H = red[_H_IDX]  # (6, 6) symmetric gather from the 21 triu sums
             b = red[21:27]
             H_lm = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6)
-            dx = jnp.linalg.solve(H_lm, b)
+            dx = _solve6(H_lm, b)
             T_new = lie.se3_exp(dx) @ Tcw
             dx_norm = jnp.where(improved, jnp.linalg.norm(dx), last_dx)
             return (T_new, Tcw, cost_best, lam, it + 1, dx_norm)
