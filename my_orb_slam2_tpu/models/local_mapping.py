@@ -520,6 +520,18 @@ def _fuse_dir_a(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int):
     add = okA & (existing < 0)
     inc_e = jnp.where(state.kf_ur[tkf_e, idxA] >= 0, 2, 1)
     cnt_e = jnp.broadcast_to(cntA[None, :], (T, CA))
+    # Observation budget: fuse never fills a point's observer row past
+    # K-4 — a 28+-observer point is fully constrained (descriptor median,
+    # culling counts and BA all saturate long before that), and without
+    # the headroom every later fuse pass re-attempts the same adds into
+    # full rows, inflating obs_overflow with re-counted non-losses
+    # (measured 16k over a 1,400-frame circuit) and leaving no room for
+    # the semantically critical tracking observations at keyframe
+    # insertion. Declined adds are budget policy, counted as shed work.
+    K_OBS = state.mp_obs_kf.shape[1]
+    budget_ok = cnt_e < (K_OBS - 4)
+    shed_budget = jnp.sum(add & ~budget_ok, dtype=jnp.int32)
+    add = add & budget_ok
     obs_kf, obs_slot, did_f, n_over = ms.obs_add_pairs_multi(
         state.mp_obs_kf, state.mp_obs_slot,
         jnp.where(add, pid_e, INVALID).reshape(-1),
@@ -555,6 +567,7 @@ def _fuse_dir_a(cfg: SlamConfig, state: ms.MapState, kf_id, n_targets: int):
         kf_mp=kf_mp, mp_n_obs=mp_n_obs,
         mp_obs_kf=obs_kf, mp_obs_slot=obs_slot,
         obs_overflow=state.obs_overflow + n_over,
+        shed_work=state.shed_work + shed_budget,
     )
     return state, replace_map, tgt_ids, src_mask
 
@@ -595,11 +608,17 @@ def _fuse_dir_b(
     candB_ok = candB < MP
     candB = jnp.clip(candB, 0, MP - 1)
     # Skip points kf_id already observes (reference Fuse IsInKeyFrame gate).
-    candB_ok = candB_ok & ~jnp.any(state.mp_obs_kf[candB] == kf_id, axis=1)
+    rowsB = state.mp_obs_kf[candB]
+    candB_ok = candB_ok & ~jnp.any(rowsB == kf_id, axis=1)
     idx, ok = _fuse_search(cfg, state, candB, candB_ok, kf_id)
     existing = jnp.take(state.kf_mp[kf_id], idx)
     pid = candB
     add = ok & (existing < 0)
+    # Same observation budget as direction A (see _fuse_dir_a).
+    K_OBS = state.mp_obs_kf.shape[1]
+    cntB = jnp.sum(rowsB >= 0, axis=1)
+    shed_budget = jnp.sum(add & (cntB >= K_OBS - 4), dtype=jnp.int32)
+    add = add & (cntB < K_OBS - 4)
     obs_kf, obs_slot, did, novB = ms.obs_add_pairs(
         state.mp_obs_kf, state.mp_obs_slot, jnp.where(add, pid, INVALID),
         jnp.full(pid.shape, 0, jnp.int32) + kf_id, idx, add,
@@ -625,6 +644,7 @@ def _fuse_dir_b(
         kf_mp=state.kf_mp.at[kf_id].set(row), mp_n_obs=n_obs,
         mp_obs_kf=obs_kf, mp_obs_slot=obs_slot,
         obs_overflow=state.obs_overflow + novB,
+        shed_work=state.shed_work + shed_budget,
     )
     return state, replace_map, tgt_mask_rows
 
@@ -1202,19 +1222,19 @@ def writeback_local_ba_dense(
         kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp=kf_mp, mp_n_obs=mp_n_obs,
         mp_obs_kf=mp_obs_kf, mp_obs_slot=mp_obs_slot,
     )
-    # Derived-state refresh set: the NEW KEYFRAME's row, exactly the
-    # reference's post-fuse refresh (SearchInNeighbors iterates the current
-    # keyframe's matches for UpdateNormalAndDepth +
-    # ComputeDistinctiveDescriptors, src/LocalMapping.cc:584-595). Local BA
-    # itself refreshes nothing in the reference (SetWorldPos only,
-    # src/Optimizer.cc:776-783) — refreshing all 4096 window points here
-    # was over-servicing at 2x the gather volume. cam_ids[0] is kf_id
-    # (extract pins it with an infinite weight).
-    kf_row = jnp.clip(aux["cam_ids"][0], 0, KF - 1)
-    row_pid = state.kf_mp[kf_row]  # (N,)
-    row_has = (row_pid >= 0) & state.kf_kp_valid[kf_row]
-    ref_ids = jnp.where(row_has, row_pid, MP)
-    ref_ok = row_has
+    # Derived-state refresh set: ALL window points (the union of the free
+    # cameras' rows). The reference refreshes descriptors + normals for
+    # every keyframe's matches at ProcessNewKeyFrame time
+    # (src/LocalMapping.cc:161-170) and again post-fuse for the current
+    # keyframe (src/LocalMapping.cc:584-595); our full pass runs every
+    # `full_every` keyframes, so the window — whose free cameras are
+    # exactly the recent keyframes — is the batched equivalent of those
+    # per-keyframe refreshes. A round-5 attempt to restrict this to the
+    # NEW keyframe's row alone starved the intervening keyframes' points
+    # of their refresh and deterministically regressed the KITTI-format
+    # driver E2E 0.1 -> 3.40 m (the same staleness failure mode as
+    # round 4's observer-subset regression).
+    ref_ids, ref_ok = pt_ids, ok_pt
     state = ms.update_point_geometry_ids(
         state, ref_ids, ref_ok, cfg.orb.scale_factor, cfg.orb.n_levels
     )

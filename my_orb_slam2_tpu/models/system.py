@@ -20,6 +20,7 @@ providing the overlap (see bench.py's pipelined loop).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -116,14 +117,40 @@ class SlamSystem:
         # a fixed tree level): only meaningful for a real k-ary tree.
         from my_orb_slam2_tpu.ops.bow import TreeVocabulary
 
-        if isinstance(vocab, TreeVocabulary) and cfg.matcher.bow_gate_div == 0:
+        # Direct-index GATE vocabulary: may differ from the place-recognition
+        # vocabulary. The gate needs a view-STABLE coarse quantizer (true
+        # correspondences must share a depth-2 bucket or triangulation
+        # starves — measured: gating from the 100k L5 tree's depth-2 nodes
+        # deterministically loses tracking on the KITTI-format driver E2E,
+        # while the 10k L4 tree's buckets hold), whereas the database wants
+        # a DISCRIMINATIVE fine one (the 100k tree: recall 1.0 at 2,080
+        # rendered keyframes, VOCAB_SCALE_r05.json). The reference derives
+        # both roles from one tree (FeatureVector at depth 2 of ORBvoc,
+        # src/Frame.cc:425) — the roles split here because each is an
+        # independent quantizer choice, not a semantic coupling.
+        self.gate_vocab = vocab
+        if isinstance(vocab, TreeVocabulary) and vocab.depth > 4:
+            from my_orb_slam2_tpu.utils.vocab_io import (
+                _FALLBACK_ASSET, load_packed,
+            )
+
+            if os.path.exists(_FALLBACK_ASSET):
+                self.gate_vocab = load_packed(_FALLBACK_ASSET)
+        if isinstance(self.gate_vocab, TreeVocabulary) and cfg.matcher.bow_gate_div == 0:
             import dataclasses
 
+            # Buckets = the k^2 (=100 for k=10) tree nodes at depth 2, the
+            # same ABSOLUTE depth the reference's direct index joins at
+            # (transform(..., levelsup=4) on its L=6 tree -> depth 2,
+            # src/Frame.cc:425): div = k^(L-2) leaf ids per depth-2 node.
+            # SLAM_BOW_GATE_DIV overrides for ablation (0 keeps the auto).
+            gv = self.gate_vocab
+            div = int(os.environ.get("SLAM_BOW_GATE_DIV", "0") or 0)
+            if div == 0:
+                div = gv.k ** max(gv.depth - 2, 1)
             cfg = dataclasses.replace(
                 cfg,
-                matcher=dataclasses.replace(
-                    cfg.matcher, bow_gate_div=vocab.k ** 2
-                ),
+                matcher=dataclasses.replace(cfg.matcher, bow_gate_div=div),
             )
             self.cfg = cfg
         self.db = kdb.init_db(cfg.capacity.max_keyframes, capacity, self.vocab.n_words)
@@ -133,11 +160,16 @@ class SlamSystem:
         self.enable_loop_closing = enable_loop_closing
         self.pipeline_depth = pipeline_depth
         self.tracker = Tracker(cfg, capacity, local_mapper=_MappingChain(self))
-        if isinstance(vocab, TreeVocabulary):
+        if isinstance(self.gate_vocab, TreeVocabulary):
+            # kf_words (stored per keypoint, consumed by the triangulation
+            # and loop-join word-bucket gates) come from the GATE vocabulary
+            # — see the gate_vocab comment above.
             self.tracker.vocab_pack = (
-                vocab.centers, vocab.children, vocab.leaf_word,
+                self.gate_vocab.centers,
+                self.gate_vocab.children,
+                self.gate_vocab.leaf_word,
             )
-            self.tracker.vocab_depth = vocab.depth
+            self.tracker.vocab_depth = self.gate_vocab.depth
         if pipeline_depth > 0:
             self.tracker.pipelined = True
             self.tracker.pipeline_depth = pipeline_depth

@@ -98,20 +98,34 @@ def save_dbow2_text(voc: TreeVocabulary, path: str):
             f.write(f"{parent[nid]} {is_leaf[nid]} {d} 1.0\n")
 
 
-_DEFAULT_ASSET = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "assets", "orbvoc_k10_L4.npz",
+_ASSET_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets"
 )
+# Default: the k=10, L=5 (100k-word) tree trained on rendered-world ORB
+# descriptors (tools/make_vocab.py) — a 10x step toward the reference's
+# ~1M-word ORBvoc (k=10, L=6; src/System.cc:64-72, stripped from its
+# mount). The keyframe database queries sparsely at the query's own words
+# (keyframe_db.py), so query cost is vocabulary-size independent; the
+# (KF, n_words) u8 count matrix is ~157 MB at KITTI capacity. Recall at
+# 2,000+ rendered keyframes: see VOCAB_SCALE_r05.json (the 10k k10_L4
+# asset remains shipped for comparison and low-memory settings;
+# SLAM_VOCAB=path env var overrides).
+_DEFAULT_ASSET = os.path.join(_ASSET_DIR, "orbvoc_k10_L5.npz")
+_FALLBACK_ASSET = os.path.join(_ASSET_DIR, "orbvoc_k10_L4.npz")
 
 
 def default_vocabulary():
-    """The engine's default place-recognition vocabulary: the packed k=10,
-    L=4 (10k-word) tree asset trained on rendered-world ORB descriptors
-    (tools/make_vocab.py) — the in-repo counterpart of the reference's
-    ORBvoc.txt (stripped from its mount; reference src/System.cc:64-72).
-    Falls back to the training-free LSH vocabulary if the asset is absent."""
+    """The engine's default place-recognition vocabulary (see the asset
+    comment above). Resolution order: $SLAM_VOCAB (packed npz path) ->
+    packed 100k-word k10_L5 asset -> packed 10k-word k10_L4 asset ->
+    training-free LSH fallback."""
+    override = os.environ.get("SLAM_VOCAB", "")
+    if override and os.path.exists(override):
+        return load_packed(override)
     if os.path.exists(_DEFAULT_ASSET):
         return load_packed(_DEFAULT_ASSET)
+    if os.path.exists(_FALLBACK_ASSET):
+        return load_packed(_FALLBACK_ASSET)
     from my_orb_slam2_tpu.ops.bow import LshVocabulary
 
     # 14 bits = 16384 words: the dense (KF, n_words) u8 database stays

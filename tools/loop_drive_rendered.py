@@ -118,12 +118,18 @@ def main():
     print(f"circuit: R={R:.0f} m, length={step * (n_frames - overlap):.0f} m,"
           f" {n_frames} frames, loop={'on' if use_loop else 'off'}", flush=True)
 
-    # pipeline_depth=1: during keyframe BURSTS the deeper pipeline's map
-    # lag starves the motion model (inliers decay ~50->25 over consecutive
-    # keyframe insertions until LOST, then relocalization recovers —
-    # measured on this circuit at depth 3). Depth 1 keeps the readback off
-    # the critical path with only one frame of keyframe-decision lag.
-    system = SlamSystem(cfg, pipeline_depth=1, enable_loop_closing=use_loop)
+    # pipeline_depth=3: keyframe bursts starve the motion model on the
+    # lagged map at depth >= 3 (inliers decay ~50->25 over consecutive
+    # insertions — measured in round 4, which pinned this drive to depth 1).
+    # The stale-dispatch retry (tracking.py _dispatch_retry: re-track the
+    # same frame once against the CURRENT map before declaring LOST) plus
+    # the adaptive temporal-VO anchors now absorb those bursts, so the
+    # drive runs with real pipelining like the capacity drive (depth 5).
+    depth = (
+        int(sys.argv[sys.argv.index("--depth") + 1])
+        if "--depth" in sys.argv else 3
+    )
+    system = SlamSystem(cfg, pipeline_depth=depth, enable_loop_closing=use_loop)
     system.local_mapper.full_every = 4
 
     # Pre-render the whole circuit before the timed loop (the blob
@@ -141,18 +147,38 @@ def main():
     lost = 0
     t_start = None
     warm = 0
+    frame_t = []
     for i, (left, right) in enumerate(frames_img):
         if t_start is None and i >= 20 and system.local_mapper._ba_runs >= 1:
             system.tracker.flush()
             warm = i
             t_start = time.perf_counter()
+        t_f = time.perf_counter()
         info = system.track_stereo(left, right, i / 10.0)
+        if t_start is not None:
+            frame_t.append(time.perf_counter() - t_f)
         lost += info["state"] != TrackingState.OK and i > 0
         if i % 200 == 0:
             print(f"  frame {i} ({time.time() - t0_all:.0f}s)", flush=True)
     system.shutdown()
     elapsed = max(time.perf_counter() - t_start, 1e-6)
     fps = (n_frames - warm) / elapsed
+    # Lazy jit compiles fire the first time each program shape is reached
+    # (loop detection, Sim3 solve, loop correction, GBA chunks, ... — each
+    # a multi-second XLA compile through the tunnel) and land on single
+    # frames; the reference has no compile analog, so sustained throughput
+    # is reported separately from those one-time stalls. steady_fps is
+    # 1/median frame time; compile_stall_s is the total time spent in
+    # frames >= 4x the median (all one-time costs — a warm process or a
+    # persistent compile cache pays none of them).
+    ft = np.asarray(frame_t)
+    med = float(np.median(ft)) if len(ft) else 1e-9
+    stall = ft >= max(4.0 * med, 0.2)
+    steady_fps = 1.0 / max(med, 1e-9)
+    compile_stall_s = float(ft[stall].sum())
+    fps_ex_stall = (len(ft) - int(stall.sum())) / max(
+        float(ft[~stall].sum()), 1e-9
+    )
 
     m = system.tracker.map
     traj = system.tracker.trajectory_poses()
@@ -167,6 +193,11 @@ def main():
         "frames": n_frames,
         "path_m": round(path, 1),
         "fps": round(fps, 2),
+        "steady_fps": round(steady_fps, 2),
+        "fps_ex_compile_stalls": round(fps_ex_stall, 2),
+        "compile_stall_s": round(compile_stall_s, 1),
+        "n_stall_frames": int(stall.sum()),
+        "pipeline_depth": depth,
         "render_s_per_frame": round(render_s / n_frames, 3),
         "ate_m": round(float(ate), 4),
         "ate_pct_path": round(100.0 * float(ate) / path, 4),
