@@ -642,10 +642,17 @@ def insert_keyframe(
     ok_a = kp_valid & (mp_assign >= 0) & (mp_assign < MP)
     ok_a = ok_a & jnp.take(state.mp_valid, jnp.clip(mp_assign, 0, MP - 1))
     if obs_budget:
-        ok_a = ok_a & (
+        mature = (
             jnp.take(state.mp_n_obs, jnp.clip(mp_assign, 0, MP - 1))
-            < obs_budget
+            >= obs_budget
         )
+        # Budget-declined assignments are load-shedding policy (the point
+        # is already saturated with observers), counted — not silent.
+        state = state._replace(
+            shed_work=state.shed_work
+            + jnp.sum(ok_a & mature, dtype=jnp.int32)
+        )
+        ok_a = ok_a & ~mature
     pid_s = jnp.where(ok_a, mp_assign, MP)
     first = jnp.full((MP + 1,), N, jnp.int32).at[pid_s].min(
         jnp.arange(N, dtype=jnp.int32)

@@ -88,11 +88,16 @@ def run_one(seed: int, n_frames: int):
 
 
 def main():
+    import json
+
     n_seeds = (
         int(sys.argv[sys.argv.index("--seeds") + 1]) if "--seeds" in sys.argv else 3
     )
     n_frames = (
         int(sys.argv[sys.argv.index("--frames") + 1]) if "--frames" in sys.argv else 100
+    )
+    out_json = (
+        sys.argv[sys.argv.index("--json") + 1] if "--json" in sys.argv else ""
     )
     rows = []
     for s in range(n_seeds):
@@ -104,8 +109,32 @@ def main():
               f"pts={r['points']} kfs={r['kfs']}",
               flush=True)
     ates = [r["ate"] for r in rows]
-    print(f"ATE mean={np.mean(ates):.3f} max={np.max(ates):.3f} "
-          f"fps_mean={np.mean([r['fps'] for r in rows]):.1f}")
+    fpss = [r["fps"] for r in rows]
+    summary = {
+        "frames": n_frames,
+        "seeds": n_seeds,
+        "ate_mean": round(float(np.mean(ates)), 4),
+        "ate_min": round(float(np.min(ates)), 4),
+        "ate_max": round(float(np.max(ates)), 4),
+        "fps_mean": round(float(np.mean(fpss)), 2),
+        "fps_min": round(float(np.min(fpss)), 2),
+        "lost_total": int(sum(r["lost"] for r in rows)),
+        "cap_overflow_total": int(sum(r["cap_overflow"] for r in rows)),
+        "obs_overflow_total": int(sum(r["obs_overflow"] for r in rows)),
+        "per_seed": [
+            {k: (round(float(v), 4) if isinstance(v, float) else v)
+             for k, v in r.items()} for r in rows
+        ],
+    }
+    print(f"ATE mean={summary['ate_mean']:.3f} max={summary['ate_max']:.3f} "
+          f"fps_mean={summary['fps_mean']:.1f}")
+    if out_json:
+        json.dump(summary, open(out_json, "w"), indent=1)
+    # Seed-MEAN gates (single-seed ATE varies ~2x at this scale — see
+    # module docstring; policy and regression decisions use the mean).
+    assert summary["lost_total"] == 0, summary
+    assert summary["ate_mean"] < 0.4, summary
+    assert summary["cap_overflow_total"] == 0, summary
 
 
 if __name__ == "__main__":

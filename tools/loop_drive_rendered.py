@@ -55,7 +55,19 @@ def main():
             th_depth=40.0, width=W, height=H,
         ),
         orb=OrbConfig(n_features=1000),
-        capacity=CapacityConfig(max_keyframes=1536, max_map_points=131072),
+        # max_obs_per_point=64: a closed circuit re-observes the same walls
+        # from ~500 live keyframes, so points legitimately collect far more
+        # observers than the straight-corridor capacity drive's 32 (the
+        # reference's observation lists are unbounded,
+        # include/MapPoint.h:45-82). Provisioning K to the sequence shape
+        # cut obs_overflow 20k -> (see LOOP_r05.json) with ATE unchanged.
+        # obs_budget=112 (n_obs units; stereo observations count 2, so
+        # ~56 observers): keyframe insertion stops adding observations to
+        # saturated points, mirroring the fuse-side K-4 budget — the last
+        # overflow source on a revisiting circuit. Declined adds are
+        # counted as shed work.
+        capacity=CapacityConfig(max_keyframes=1536, max_map_points=131072,
+                                max_obs_per_point=64, obs_budget=112),
         tracking=TrackingConfig(min_stereo_init_points=200,
                                 max_frames_between_kf=10),
     )
