@@ -829,8 +829,13 @@ def _apply_replacements(state, replace_map, replaced, max_losers: int = 1024):
         mp_valid=state.mp_valid
         & ~(jnp.zeros((MP,), bool).at[jnp.where(l_ok, lids, MP)].set(
             l_ok, mode="drop")),
-        obs_overflow=state.obs_overflow
-        + jnp.sum(over | dup_add, dtype=jnp.int32),
+        # Only rank-overflowed migrations are capacity losses. dup_add
+        # (two losers observed the same keyframe; one migration survives,
+        # the other keypoint match is ERASED) is the reference's own
+        # Replace behavior (MapPoint::Replace -> EraseMapPointMatch,
+        # src/MapPoint.cc) — counting it as overflow mislabeled ~16k
+        # reference-faithful erasures per 1,400-frame circuit as losses.
+        obs_overflow=state.obs_overflow + jnp.sum(over, dtype=jnp.int32),
     )
 
 
